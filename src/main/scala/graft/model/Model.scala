@@ -1,0 +1,113 @@
+package graft.model
+
+/** Core data model of the crawl engine.
+  *
+  * Mirrors the reference's abstractions (see SURVEY.md §1) re-expressed as
+  * Spark-encodable case classes:
+  *  - FrontierEntry ≈ geziyor Request  (reference: client/request.go:10-35)
+  *  - FetchResult   ≈ geziyor Response (reference: client/response.go:12-22)
+  *  - CrawlSpec     ≈ geziyor Options  (reference: options.go:16-126)
+  *  - AuditRow      ≈ metrics/log rows (reference: metrics/metrics.go:28-35,
+  *                    middleware/log_stats.go:13-18)
+  *
+  * All fields use Spark-friendly types (String/Int/Long/Boolean/Map) so the
+  * default case-class Encoders apply and columns stay codegen-friendly.
+  */
+final case class FrontierEntry(
+    url: String,
+    host: String,
+    path: String,
+    depth: Int,
+    method: String = "GET",
+    meta: Map[String, String] = Map.empty,
+    retry: Int = 0,
+    priority: Int = 0,
+    // (wave, rank-within-wave) give the deterministic BFS discovery order the
+    // reference exhibits under Synchronized=true (geziyor.go:225-227).
+    wave: Int = 0,
+    rank: Long = 0L,
+    parserId: String = "default"
+)
+
+final case class FetchResult(
+    url: String,
+    host: String,
+    depth: Int,
+    status: Int,
+    contentType: String,
+    body: Array[Byte],
+    text: String,
+    isHtml: Boolean,
+    meta: Map[String, String],
+    retry: Int,
+    wave: Int,
+    location: String // redirect target, null if none
+)
+
+/** Immutable crawl specification — the "query". Field-for-field mirror of the
+  * corpus-meaningful subset of the reference Options (options.go:16-126).
+  */
+final case class CrawlSpec(
+    startUrls: Seq[String],
+    allowedDomains: Seq[String] = Nil,         // options.go:19  (empty = allow all)
+    maxDepth: Int = Int.MaxValue,
+    maxWaves: Int = 64,
+    retryTimes: Int = 2,                       // client/client.go:52
+    retryHttpCodes: Set[Int] = CrawlSpec.DefaultRetryCodes,
+    maxRedirect: Int = 10,                     // options.go:63
+    maxBodySize: Long = 1024L * 1024 * 1024,   // client/client.go:51 (1 GB)
+    urlRevisitEnabled: Boolean = false,        // options.go:121
+    robotsTxtDisabled: Boolean = false,        // options.go:109
+    userAgent: String = CrawlSpec.DefaultUserAgent,
+    // Politeness: per-host fetch tokens granted per wave. Reference semantics:
+    // ConcurrentRequestsPerDomain (options.go:45) caps in-flight per host;
+    // RequestDelay (options.go:84) spaces them. In wave mode the two collapse
+    // to "at most k fetches per host per wave".
+    hostTokensPerWave: Int = Int.MaxValue,
+    requestDelayMs: Long = 0L,
+    waveIntervalMs: Long = 1000L,
+    concurrentRequests: Int = 100000,          // options.go:41 → wave size cap
+    parseHtmlDisabled: Boolean = false,        // options.go:73
+    parserId: String = "default",
+    // Skew handling: hosts holding more than this share of a wave get salted
+    // into this many sub-partitions (SURVEY.md §7 hard parts).
+    skewSaltBuckets: Int = 8
+)
+
+object CrawlSpec {
+  /** client/client.go:56 */
+  val DefaultRetryCodes: Set[Int] = Set(500, 502, 503, 504, 522, 524, 408)
+  /** client/client.go:44-47 */
+  val DefaultUserAgent =
+    "GeziyorSpark/1.0 (+https://github.com/geziyor/geziyor)"
+  /** middleware/headers.go:12-17 / client/client.go:275-280 header defaults. */
+  val DefaultHeaders: Map[String, String] = Map(
+    "Accept" ->
+      "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+    "Accept-Charset" -> "utf-8",
+    "Accept-Language" -> "en",
+    "User-Agent" -> DefaultUserAgent
+  )
+}
+
+/** One audit-table row: crawl log lines, metric counters and error/panic
+  * branches all land here (SURVEY.md §2.5).
+  */
+final case class AuditRow(
+    wave: Int,
+    kind: String,   // crawled | rejected_domain | robots_forbidden | retry |
+                    // fetch_miss | parse_error | redirect
+    method: String,
+    status: Int,
+    host: String,
+    url: String,
+    detail: String
+)
+
+/** Extracted record for the flagship quotes fixture (geziyor_test.go:76-94). */
+final case class QuoteRecord(
+    number: Int,
+    text: String,
+    author: String,
+    tags: Seq[String]
+)

@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.corpus.CorpusViews
+import graft.model.CrawlSpec
+
+/** One named query + its DuckDB oracle (None → rows-only check). */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Crawl-core operator queries (SURVEY.md §2.1–§2.5), each the Spark-native
+  * realization of one reference dataflow operator, DataFrame-API first, with
+  * a DuckDB oracle over the same derived views (CorpusViews.cte — identical
+  * SQL text both engines).
+  *
+  * Scale notes are on each query: what shuffles, what broadcasts, what the
+  * plan must look like at 10^10-URL frontier scale.
+  */
+object CrawlQueries {
+  import CorpusViews.{view, cte}
+
+  private def v(s: SparkSession, dir: String)(n: String) = view(s, dir, n)
+
+  /** Fetch = frontier ⋈ pages corpus (reference: client/client.go:124-168 —
+    * the network call becomes a join; miss = DNS-error analog).
+    * Scale: both sides hash-partition on url; with a bucketed corpus this is
+    * a shuffle-free sort-merge join; AQE handles skewed hosts.
+    */
+  val qFetchJoin = Q(
+    "q01_fetch_join",
+    (s, dir) => {
+      val f = v(s, dir)("frontier")
+      val p = v(s, dir)("pages")
+        .select(col("url"), col("status"), col("content_type"))
+      f.join(p, Seq("url"), "left")
+        .select(
+          col("url"), col("host"), col("depth"), col("method"),
+          coalesce(col("status"), lit(-1)).as("status"),
+          col("status").isNotNull.as("fetched"))
+    },
+    Some(cte("frontier", "pages") +
+      """SELECT f.url AS url, f.host AS host, f.depth AS depth,
+        |  f.method AS method, COALESCE(p.status, -1) AS status,
+        |  p.status IS NOT NULL AS fetched
+        |FROM frontier f LEFT JOIN pages p ON f.url = p.url""".stripMargin))
+
+  /** URL-seen dedup = left-anti join vs the seen-set state table (reference:
+    * middleware/duplicate_requests.go:16-26). Only GETs are deduped, exactly
+    * like the reference (`:17`). Scale: anti-join on url after a Bloom
+    * pre-filter (see graft.state.SeenSet); Bloom skips the shuffle for the
+    * definitely-seen majority.
+    */
+  val qSeenAntiJoin = Q(
+    "q02_seen_antijoin",
+    (s, dir) => {
+      val f = v(s, dir)("frontier")
+      val seen = v(s, dir)("seen")
+      val gets = f.filter(col("method") === "GET")
+      val nonGets = f.filter(col("method") =!= "GET")
+      gets.join(seen, Seq("url"), "left_anti")
+        .select(col("url")).union(nonGets.select(col("url"))).distinct()
+    },
+    Some(cte("frontier", "seen") +
+      """SELECT DISTINCT f.url AS url FROM frontier f
+        |WHERE f.method <> 'GET'
+        |   OR NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)""".stripMargin))
+
+  /** Intra-batch first-wins dedup (reference LoadOrStore first-wins,
+    * duplicate_requests.go:18): keep min-(depth, rank) row per url.
+    * Scale: single shuffle on url; window beats groupBy+self-join.
+    */
+  val qDedupFirstWins = Q(
+    "q03_dedup_first_wins",
+    (s, dir) => {
+      val f = v(s, dir)("frontier")
+      val w = Window.partitionBy(col("url"))
+        .orderBy(col("depth").asc, col("rank").asc)
+      f.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("url"), col("depth"), col("rank"))
+    },
+    Some(cte("frontier") +
+      """SELECT url, depth, rank FROM (
+        |  SELECT url, depth, rank,
+        |    ROW_NUMBER() OVER (PARTITION BY url ORDER BY depth ASC, rank ASC) AS rn
+        |  FROM frontier) t WHERE rn = 1""".stripMargin))
+
+  private val allowedHosts =
+    (0 until 30).map(i => s"h$i.example.com")
+
+  /** AllowedDomains filter (reference: middleware/allowed_domains.go:15-23).
+    * Scale: isin literal list folds to an InSet predicate pushed to the scan;
+    * a large allowlist becomes a broadcast semi-join instead.
+    */
+  val qAllowedDomains = Q(
+    "q04_allowed_domains",
+    (s, dir) =>
+      v(s, dir)("frontier")
+        .filter(col("host").isin(allowedHosts: _*))
+        .select(col("url"), col("host")).distinct(),
+    Some(cte("frontier") +
+      s"""SELECT DISTINCT url, host FROM frontier
+         |WHERE host IN (${allowedHosts.map("'" + _ + "'").mkString(", ")})""".stripMargin))
+
+  /** Rejected-domain audit with log-once semantics (allowed_domains.go:11-19
+    * logs each host once; we keep the full count per host for the audit
+    * table). Scale: partial aggregation map-side, tiny result.
+    */
+  val qRejectedAudit = Q(
+    "q05_rejected_audit",
+    (s, dir) =>
+      v(s, dir)("frontier")
+        .filter(!col("host").isin(allowedHosts: _*))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_rejected")),
+    Some(cte("frontier") +
+      s"""SELECT host, COUNT(*) AS n_rejected FROM frontier
+         |WHERE host NOT IN (${allowedHosts.map("'" + _ + "'").mkString(", ")})
+         |GROUP BY host""".stripMargin))
+
+  /** Header defaults (middleware/headers.go:12-17): set iff absent — pure
+    * coalesce projection, no shuffle at any scale.
+    */
+  val qHeaderDefaults = Q(
+    "q06_header_defaults",
+    (s, dir) =>
+      v(s, dir)("frontier")
+        .withColumn("ua_in",
+          when(col("rank") % 7 === 0, lit("custom-agent")))
+        .select(
+          col("url"),
+          coalesce(col("ua_in"), lit(CrawlSpec.DefaultUserAgent)).as("user_agent"),
+          lit(CrawlSpec.DefaultHeaders("Accept")).as("accept"),
+          lit("en").as("accept_language")),
+    Some(cte("frontier") +
+      s"""SELECT url,
+         |  COALESCE(CASE WHEN rank % 7 = 0 THEN 'custom-agent' ELSE NULL END,
+         |           '${CrawlSpec.DefaultUserAgent}') AS user_agent,
+         |  '${CrawlSpec.DefaultHeaders("Accept")}' AS accept,
+         |  'en' AS accept_language
+         |FROM frontier""".stripMargin))
+
+  /** Per-host politeness token grant: top-k rows per host per wave by
+    * (priority desc, rank) — the wave-mode collapse of
+    * ConcurrentRequestsPerDomain + RequestDelay (geziyor.go:277-288,
+    * middleware/delay.go:15-30). Scale: one shuffle on host; mega-hosts are
+    * salted in the real pipeline (graft.pipeline.Politeness).
+    */
+  val qPolitenessTokens = Q(
+    "q07_politeness_tokens",
+    (s, dir) => {
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("priority").desc, col("rank").asc)
+      v(s, dir)("frontier")
+        .withColumn("token", row_number().over(w))
+        .filter(col("token") <= 3)
+        .select(col("url"), col("host"), col("priority"), col("token"))
+    },
+    Some(cte("frontier") +
+      """SELECT url, host, priority, token FROM (
+        |  SELECT url, host, priority,
+        |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, rank ASC) AS token
+        |  FROM frontier) t WHERE token <= 3""".stripMargin))
+
+  /** robots.txt gate (middleware/robotstxt.go:30-67): broadcast-join frontier
+    * with per-host disallow rules, keep paths not matching a disallow prefix.
+    * Scale: robots table is tiny (one row per host) → broadcast join, no
+    * frontier shuffle.
+    */
+  val qRobotsGate = Q(
+    "q08_robots_gate",
+    (s, dir) => {
+      val f = v(s, dir)("frontier")
+      val r = v(s, dir)("robots")
+      f.join(broadcast(r), Seq("host"), "left")
+        .filter(col("disallow_prefix").isNull ||
+          expr("substring(path, 1, length(disallow_prefix)) <> disallow_prefix"))
+        .select(col("url"), col("host")).distinct()
+    },
+    Some(cte("frontier", "robots") +
+      """SELECT DISTINCT f.url AS url, f.host AS host
+        |FROM frontier f LEFT JOIN robots r ON f.host = r.host
+        |WHERE r.disallow_prefix IS NULL
+        |   OR SUBSTRING(f.path, 1, LENGTH(r.disallow_prefix)) <> r.disallow_prefix""".stripMargin))
+
+  /** Robots-forbidden audit counter (metrics/metrics.go:33, incremented at
+    * robotstxt.go:62).
+    */
+  val qRobotsForbidden = Q(
+    "q09_robots_forbidden",
+    (s, dir) => {
+      val f = v(s, dir)("frontier")
+      val r = v(s, dir)("robots")
+      f.join(broadcast(r), Seq("host"), "inner")
+        .filter(col("disallow_prefix").isNotNull &&
+          expr("substring(path, 1, length(disallow_prefix)) = disallow_prefix"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_forbidden"))
+    },
+    Some(cte("frontier", "robots") +
+      """SELECT f.host AS host, COUNT(*) AS n_forbidden
+        |FROM frontier f JOIN robots r ON f.host = r.host
+        |WHERE r.disallow_prefix IS NOT NULL
+        |  AND SUBSTRING(f.path, 1, LENGTH(r.disallow_prefix)) = r.disallow_prefix
+        |GROUP BY f.host""".stripMargin))
+
+  /** Retry re-enqueue (client/client.go:94-121): fetch results with a
+    * retryable status re-enter the next wave with retry+1, capped at
+    * RetryTimes=2. Pure dataflow — the reference's recursion becomes a
+    * filtered union into the next frontier.
+    */
+  val qRetryRequeue = Q(
+    "q10_retry_requeue",
+    (s, dir) => {
+      val f = v(s, dir)("frontier")
+      val p = v(s, dir)("pages").select(col("url"), col("status"))
+      val codes = CrawlSpec.DefaultRetryCodes.toSeq.sorted
+      f.join(p, Seq("url"), "inner")
+        .filter(col("status").isin(codes.map(Integer.valueOf): _*) &&
+          col("retry") < lit(2))
+        .select(col("url"), col("host"),
+          (col("retry") + 1).as("retry"), col("status"))
+    },
+    Some(cte("frontier", "pages") +
+      s"""SELECT f.url AS url, f.host AS host, f.retry + 1 AS retry,
+         |  p.status AS status
+         |FROM frontier f JOIN pages p ON f.url = p.url
+         |WHERE p.status IN (${CrawlSpec.DefaultRetryCodes.toSeq.sorted.mkString(", ")})
+         |  AND f.retry < 2""".stripMargin))
+
+  /** Redirect follower (client/client.go:303-311): bounded chain resolution
+    * as unrolled self-joins on the redirect edge (two hops cover the fixture
+    * chains; the engine's CrawlJob does the general ≤ maxRedirect loop).
+    * Scale: each hop is a join on url — same partitioning reused.
+    */
+  val qRedirectResolve = Q(
+    "q11_redirect_resolve",
+    (s, dir) => {
+      val p = v(s, dir)("pages")
+      val src = p.filter(col("status") === 301)
+        .select(col("url").as("src_url"), col("location").as("loc1"))
+      val h1 = p.select(col("url").as("u1"), col("status").as("st1"),
+        col("location").as("nx1"))
+      val h2 = p.select(col("url").as("u2"), col("status").as("st2"))
+      src
+        .join(h1, col("loc1") === col("u1"), "left")
+        .join(h2,
+          col("st1") === 301 && col("nx1") === col("u2"), "left")
+        .select(
+          col("src_url"),
+          when(col("st1") === 301, coalesce(col("u2"), col("nx1")))
+            .otherwise(col("u1")).as("final_url"),
+          when(col("st1") === 301, col("st2")).otherwise(col("st1"))
+            .as("final_status"),
+          (when(col("st1") === 301, 2).otherwise(1)).as("hops"))
+    },
+    Some(cte("pages") +
+      """SELECT s.url AS src_url,
+        |  CASE WHEN h1.status = 301 THEN COALESCE(h2.url, h1.location)
+        |       ELSE h1.url END AS final_url,
+        |  CASE WHEN h1.status = 301 THEN h2.status ELSE h1.status END AS final_status,
+        |  CASE WHEN h1.status = 301 THEN 2 ELSE 1 END AS hops
+        |FROM (SELECT url, location FROM pages WHERE status = 301) s
+        |LEFT JOIN pages h1 ON s.location = h1.url
+        |LEFT JOIN pages h2 ON h1.status = 301 AND h1.location = h2.url""".stripMargin))
+
+  /** Response counter by status (middleware/metrics.go:18-20). */
+  val qMetricsStatus = Q(
+    "q12_metrics_status",
+    (s, dir) => {
+      val f = v(s, dir)("frontier")
+      val p = v(s, dir)("pages").select(col("url"), col("status"))
+      f.join(p, Seq("url"), "left")
+        .groupBy(coalesce(col("status"), lit(-1)).as("status"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some(cte("frontier", "pages") +
+      """SELECT COALESCE(p.status, -1) AS status, COUNT(*) AS n
+        |FROM frontier f LEFT JOIN pages p ON f.url = p.url
+        |GROUP BY COALESCE(p.status, -1)""".stripMargin))
+
+  /** Request counter by method (middleware/metrics.go:14-16). */
+  val qMetricsMethod = Q(
+    "q13_metrics_method",
+    (s, dir) =>
+      v(s, dir)("frontier").groupBy(col("method"))
+        .agg(count(lit(1)).as("n")),
+    Some(cte("frontier") +
+      "SELECT method, COUNT(*) AS n FROM frontier GROUP BY method"))
+
+  /** RFC2616-style freshness predicate over the fetched-state table
+    * (cache/cache.go:338-417 collapsed to the corpus-meaningful part:
+    * a timestamp window → partition-pruning-friendly filter). Stale rows are
+    * the would-refetch list.
+    */
+  val qCacheFresh = Q(
+    "q14_cache_freshness",
+    (s, dir) =>
+      v(s, dir)("pages")
+        .filter(col("status") === 200)
+        .select(col("url"),
+          (col("warc_ts") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+            .as("fresh")),
+    Some(cte("pages") +
+      """SELECT url, warc_ts >= TIMESTAMP '1997-01-01 00:00:00' AS fresh
+        |FROM pages WHERE status = 200""".stripMargin))
+
+  /** Round-robin proxy assignment (client/proxy.go:19-48): rank mod N.
+    * Done per-partition at scale (pmod of a hash); the global row_number here
+    * mirrors the reference's single atomic counter for exactness, then
+    * aggregates so the result is tiny.
+    */
+  val qProxyRoundRobin = Q(
+    "q15_proxy_roundrobin",
+    (s, dir) => {
+      val w = Window.orderBy(col("rank"))
+      v(s, dir)("frontier")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("proxy_id", (col("rn") - 1) % 5)
+        .groupBy(col("proxy_id")).agg(count(lit(1)).as("n"))
+    },
+    Some(cte("frontier") +
+      """SELECT (rn - 1) % 5 AS proxy_id, COUNT(*) AS n FROM (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY rank) AS rn FROM frontier) t
+        |GROUP BY (rn - 1) % 5""".stripMargin))
+
+  /** BFS frontier expansion (the recursive g.Get in the user ParseFunc,
+    * geziyor.go:261-267): iterative wave loop with first-wins dedup, depth≤3.
+    * Spark side: driver loop of anti-join + distinct unions (no collect in
+    * the loop). Oracle: DuckDB recursive CTE — min path depth ≡ BFS depth.
+    * Scale: each wave shuffles only the NEW urls; visited set stays
+    * partitioned on url across waves.
+    */
+  val qCrawlBfs = Q(
+    "q16_crawl_bfs",
+    (s, dir) => {
+      val links = v(s, dir)("links")
+        .select(col("src_url"), col("dst_url")).distinct()
+      val seeds = v(s, dir)("seeds")
+        .select(col("url"), lit(0).as("depth"))
+      var visited = seeds
+      var frontier = seeds
+      for (d <- 1 to 3) {
+        val next = frontier.join(links, col("url") === col("src_url"))
+          .select(col("dst_url").as("url"), lit(d).as("depth"))
+          .distinct()
+          .join(visited.select(col("url")), Seq("url"), "left_anti")
+        frontier = next
+        visited = visited.union(next)
+      }
+      visited
+    },
+    Some("WITH RECURSIVE " + CorpusViews.viewSql.toMap
+      .filterKeys(Set("links", "seeds")).toSeq.sortBy(_._1)
+      .map { case (n, sql) => s"$n AS (\n$sql\n)" }.mkString(",\n") + ",\n" +
+      """crawl(url, depth) AS (
+        |  SELECT url, 0 AS depth FROM seeds
+        |  UNION
+        |  SELECT DISTINCT l.dst_url AS url, c.depth + 1 AS depth
+        |  FROM crawl c JOIN links l ON l.src_url = c.url
+        |  WHERE c.depth < 3
+        |)
+        |SELECT url, CAST(MIN(depth) AS INT) AS depth FROM crawl GROUP BY url""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
+    qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
+    qRobotsForbidden, qRetryRequeue, qRedirectResolve, qMetricsStatus,
+    qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs)
+}
