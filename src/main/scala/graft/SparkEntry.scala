@@ -12,14 +12,14 @@ import graft.queries._
 object SparkEntry {
 
   /** All query groups. */
-  private def groups: Seq[Q] = CrawlQueries.all
+  private def groups: Seq[Q] = CrawlQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * A 3-wave BFS crawl (seed → link-expansion → first-wins dedup) over the
-    * derived pages corpus — the engine's centerpiece dataflow.
+    * The full end-to-end quotes crawl: seed → politeness → robots → fetch
+    * join → extract → frontier expansion → 100 records in crawl order.
     */
   def entry(spark: SparkSession): DataFrame =
-    CrawlQueries.qCrawlBfs.run(spark, "/root/testdata/sf0.001")
+    PipelineQueries.qCrawlQuotes.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

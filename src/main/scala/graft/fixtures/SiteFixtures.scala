@@ -1,0 +1,207 @@
+package graft.fixtures
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic synthetic web corpus (FIXTURES.md): the sandbox stand-in
+  * for the live sites the reference's tests crawl. Seed-free — everything is
+  * a pure function of page coordinates, so goldens are stable by
+  * construction.
+  *
+  * Sites:
+  *  - quotes.toscrape.com  — 10-page pagination chain, 10 quotes/page
+  *    (mirrors geziyor_test.go:67-94)
+  *  - books.toscrape.com   — category tree with relative/duplicate/fragment/
+  *    cross-host links (mirrors geziyor_test.go:96-116)
+  *  - mega.example.com     — one hub + 50 leaves on a single host (politeness
+  *    / skew food)
+  *  - redirect.example.com — 301 chains of length 1, 10, 11 (maxRedirect
+  *    boundary, client/client.go:303-311)
+  *  - flaky.example.com    — permanent 503 (retry exhaustion,
+  *    client/client.go:94-121)
+  *  - charset.example.com  — ISO-8859-9 page (charset decode,
+  *    client/client_test.go:97-141)
+  *  - robots on quotes host: Disallow: /deny (geziyor_test.go:331-339)
+  */
+object SiteFixtures {
+
+  final case class Page(
+      url: String,
+      warcTs: Timestamp,
+      html: Array[Byte],
+      text: String,
+      lang: String,
+      status: Int,
+      contentType: String,
+      location: String)
+
+  private val T0 = Timestamp.valueOf("2023-06-01 00:00:00")
+  private def ts(i: Int) = new Timestamp(T0.getTime + i * 3600L * 1000)
+
+  val authors: Vector[String] = Vector(
+    "Albert Einstein", "J.K. Rowling", "Jane Austen", "Marilyn Monroe",
+    "André Gide", "Thomas A. Edison", "Eleanor Roosevelt")
+  val tagNames: Vector[String] = Vector(
+    "change", "deep-thoughts", "truth", "life", "books", "scale", "spark")
+
+  /** Quote g's decoded text — authored here, asserted byte-identical after
+    * html-encode → parse → extract round-trip.
+    */
+  def quoteText(g: Int): String =
+    s"“Deterministic wisdom #$g — simplicity & scale.”"
+  def quoteAuthor(g: Int): String = authors(g % authors.length)
+  def quoteTags(g: Int): Seq[String] =
+    (0 to g % 3).map(j => tagNames((g + j) % tagNames.length))
+
+  private def enc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("“", "&ldquo;").replace("”", "&rdquo;")
+      .replace("—", "&mdash;")
+
+  val QuotesBase = "http://quotes.toscrape.com/"
+  def quotesPageUrl(p: Int): String =
+    if (p == 1) QuotesBase else s"http://quotes.toscrape.com/page/$p/"
+
+  def quotesPageHtml(p: Int): String = {
+    val quotes = (0 until 10).map { i =>
+      val g = (p - 1) * 10 + i
+      val tags = quoteTags(g).map(t =>
+        s"""      <a class="tag" href="/tag/$t/page/1/">$t</a>""").mkString("\n")
+      s"""  <div class="quote" itemscope itemtype="http://schema.org/CreativeWork">
+         |    <span class="text" itemprop="text">${enc(quoteText(g))}</span>
+         |    <span>by <small class="author" itemprop="author">${enc(quoteAuthor(g))}</small></span>
+         |    <div class="tags">
+         |      Tags:
+         |$tags
+         |    </div>
+         |  </div>""".stripMargin
+    }.mkString("\n")
+    val pager =
+      if (p < 10)
+        s"""  <nav><ul class="pager">
+           |    <li class="next"><a href="/page/${p + 1}/">Next <span aria-hidden="true">&rarr;</span></a></li>
+           |  </ul></nav>""".stripMargin
+      else "  <nav><ul class=\"pager\"></ul></nav>"
+    s"""<!DOCTYPE html>
+       |<html lang="en"><head><meta charset="utf-8"><title>Quotes to Scrape</title></head>
+       |<body>
+       |<div class="container">
+       |$quotes
+       |$pager
+       |</div>
+       |</body></html>""".stripMargin
+  }
+
+  def quotesPages: Seq[Page] = (1 to 10).map { p =>
+    val html = quotesPageHtml(p)
+    Page(quotesPageUrl(p), ts(p), html.getBytes(StandardCharsets.UTF_8),
+      html, "en", 200, "text/html; charset=utf-8", null)
+  } :+ Page(
+    "http://quotes.toscrape.com/robots.txt", ts(0),
+    "User-agent: *\nDisallow: /deny\n".getBytes(StandardCharsets.UTF_8),
+    "User-agent: *\nDisallow: /deny\n", "en", 200,
+    "text/plain; charset=utf-8", null) :+ {
+    val html = "<html><body><p>should never be fetched</p></body></html>"
+    Page("http://quotes.toscrape.com/deny/secret", ts(0),
+      html.getBytes(StandardCharsets.UTF_8), html, "en", 200,
+      "text/html; charset=utf-8", null)
+  }
+
+  val BooksBase = "http://books.toscrape.com/index.html"
+
+  def booksPages: Seq[Page] = {
+    def page(url: String, body: String, i: Int): Page = {
+      val html = s"<!DOCTYPE html>\n<html><head><title>B</title></head><body>\n$body\n</body></html>"
+      Page(url, ts(100 + i), html.getBytes(StandardCharsets.UTF_8), html,
+        "en", 200, "text/html; charset=utf-8", null)
+    }
+    val index = page(BooksBase,
+      (1 to 5).map(c =>
+        s"""<a href="catalogue/cat_$c/index.html">Category $c</a>""").mkString("\n") +
+        "\n<a href=\"catalogue/cat_1/index.html\">Category 1 again</a>" +
+        "\n<a href=\"#promo\">Promo</a>" +
+        "\n<a href=\"http://other-host.com/external\">elsewhere</a>", 0)
+    val cats = (1 to 5).map { c =>
+      page(s"http://books.toscrape.com/catalogue/cat_$c/index.html",
+        (1 to 6).map(b =>
+          s"""<a href="book_${c}_$b.html">Book $c-$b</a>""").mkString("\n") +
+          "\n<a href=\"../../index.html\">Home</a>", c)
+    }
+    val books = for (c <- 1 to 5; b <- 1 to 6) yield
+      page(s"http://books.toscrape.com/catalogue/cat_$c/book_${c}_$b.html",
+        s"<p>Book $c-$b content</p>\n<a href=\"../../index.html\">Home</a>",
+        10 + c * 10 + b)
+    index +: cats :++ books
+  }
+
+  def megaPages: Seq[Page] = {
+    val hub = {
+      val body = (0 until 50).map(i =>
+        s"""<a href="/m/$i">m$i</a>""").mkString("\n")
+      val html = s"<html><body>$body</body></html>"
+      Page("http://mega.example.com/", ts(200),
+        html.getBytes(StandardCharsets.UTF_8), html, "en", 200,
+        "text/html; charset=utf-8", null)
+    }
+    val leaves = (0 until 50).map { i =>
+      val html = s"<html><body><p>leaf $i</p></body></html>"
+      Page(s"http://mega.example.com/m/$i", ts(200 + i),
+        html.getBytes(StandardCharsets.UTF_8), html, "en", 200,
+        "text/html; charset=utf-8", null)
+    }
+    hub +: leaves
+  }
+
+  def redirectPages: Seq[Page] = {
+    def chain(name: String, len: Int): Seq[Page] =
+      (0 until len).map { i =>
+        val nxt =
+          if (i == len - 1) s"http://redirect.example.com/final_$name"
+          else s"http://redirect.example.com/$name/${i + 1}"
+        Page(s"http://redirect.example.com/$name/$i", ts(300),
+          Array.emptyByteArray, "", "en", 301, "text/html", nxt)
+      } :+ {
+        val html = s"<html><body><p>end of $name</p></body></html>"
+        Page(s"http://redirect.example.com/final_$name", ts(300),
+          html.getBytes(StandardCharsets.UTF_8), html, "en", 200,
+          "text/html; charset=utf-8", null)
+      }
+    chain("chain1", 1) ++ chain("chain10", 10) ++ chain("chain11", 11)
+  }
+
+  def flakyPages: Seq[Page] = Seq(
+    Page("http://flaky.example.com/always503", ts(400), Array.emptyByteArray,
+      "", "en", 503, "text/html", null),
+    {
+      val html = "<html><body><p>ok</p></body></html>"
+      Page("http://flaky.example.com/ok", ts(400),
+        html.getBytes(StandardCharsets.UTF_8), html, "en", 200,
+        "text/html; charset=utf-8", null)
+    })
+
+  /** ISO-8859-9 (Turkish) page — charset sniff from Content-Type. */
+  val TurkishText = "Türkçe karakterler: ğüşıöç ĞÜŞİÖÇ"
+  def charsetPages: Seq[Page] = {
+    val html = s"<html><body><p>$TurkishText</p></body></html>"
+    Seq(Page("http://charset.example.com/tr", ts(500),
+      html.getBytes(Charset.forName("ISO-8859-9")), html, "tr", 200,
+      "text/html; charset=iso-8859-9", null))
+  }
+
+  def allPages: Seq[Page] =
+    quotesPages ++ booksPages ++ megaPages ++ redirectPages ++ flakyPages ++
+      charsetPages
+
+  /** The corpus as a DataFrame in the BASELINE input_hint shape
+    * `pages(url, warc_ts, html, text, lang)` + fetch-semantics meta columns
+    * (status, content_type, location — FIXTURES.md §1 page_meta).
+    */
+  def pagesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    allPages.map(p => (p.url, p.warcTs, p.html, p.text, p.lang, p.status,
+      p.contentType, Option(p.location)))
+      .toDF("url", "warc_ts", "html", "text", "lang", "status",
+        "content_type", "location")
+  }
+}
