@@ -69,6 +69,10 @@ final case class CrawlSpec(
     concurrentRequests: Int = 100000,          // options.go:41 → wave size cap
     parseHtmlDisabled: Boolean = false,        // options.go:73
     parserId: String = "default",
+    // Scale path: Bloom-prefiltered seen-set anti-join (graft.state.SeenSet).
+    // Semantically identical to the plain anti-join (no false negatives);
+    // cuts the dedup shuffle to ~new-URL volume at steady state.
+    bloomDedup: Boolean = false,
     // Skew handling: hosts holding more than this share of a wave get salted
     // into this many sub-partitions (SURVEY.md §7 hard parts).
     skewSaltBuckets: Int = 8

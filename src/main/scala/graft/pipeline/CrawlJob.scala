@@ -322,9 +322,14 @@ object CrawlJob {
           .withColumn("rn", row_number().over(dw))
           .filter(col("rn") === 1).drop("rn")
 
-        // seen-set anti-join (GETs only; URLRevisitEnabled disables)
+        // seen-set anti-join (GETs only; URLRevisitEnabled disables).
+        // bloomDedup = the 10^10-scale path: broadcast Bloom prefilter, then
+        // exact anti-join only over the maybe-seen rows.
         val candNew =
           if (spec.urlRevisitEnabled) candDeduped
+          else if (spec.bloomDedup)
+            graft.state.SeenSet.filterNew(candDeduped,
+              graft.state.SeenSet.build(seen, seen.count()))
           else candDeduped.join(seen, Seq("url"), "left_anti")
 
         // deterministic discovery rank (sync-order mode; geziyor.go:225-227).

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float> dim-64, label) — brute-force cosine top-k baseline plus the
+  * LSH-bucketed scale path.
+  *
+  * Numeric-stability contract with the oracle: only integer outputs (ids,
+  * ranks, buckets) cross the comparison boundary; cosine scores order the
+  * rows but are never emitted, so parallel-sum rounding can't flip a hash.
+  */
+object SimQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Brute-force cosine top-3 neighbors for the first 50 query vectors.
+    * Plan shape: posexplode both sides → join on position → partial-agg the
+    * dot products (the same shape `functions.aggregate`/`zip_with` compiles
+    * to, but explode+agg lets the oracle mirror it exactly). Scale path:
+    * replace the full cross pairing with q41's LSH buckets as the blocking
+    * key; the per-bucket topology is identical.
+    */
+  val qCosineTopK = Q(
+    "q40_cosine_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val flat = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val q = flat.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+      val dots = q.join(flat.select(col("vec_id").as("nid"), col("pos"),
+          col("v").as("nv")), Seq("pos"))
+        .filter(col("qid") =!= col("nid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qv") * col("nv")).as("dot"))
+      val norms = flat.groupBy(col("vec_id"))
+        .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+      val scored = dots
+        .join(norms.select(col("vec_id").as("qid"), col("nrm").as("qn")), "qid")
+        .join(norms.select(col("vec_id").as("nid"), col("nrm").as("nn")), "nid")
+        .withColumn("cosine", col("dot") / (col("qn") * col("nn")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("nid").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          col("rnk"))
+    },
+    Some("""WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid, SUM(q.v * n.v) AS dot
+        |  FROM flat q JOIN flat n ON q.pos = n.pos AND q.vec_id <> n.vec_id
+        |  WHERE q.vec_id < 50
+        |  GROUP BY q.vec_id, n.vec_id
+        |),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id
+        |)
+        |SELECT vec_id, neighbor_id, rnk FROM (
+        |  SELECT d.qid AS vec_id, d.nid AS neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.qid
+        |      ORDER BY d.dot / (qn.nrm * nn.nrm) DESC, d.nid ASC) AS INT) AS rnk
+        |  FROM dots d
+        |  JOIN norms qn ON qn.vec_id = d.qid
+        |  JOIN norms nn ON nn.vec_id = d.nid) t
+        |WHERE rnk <= 3""".stripMargin))
+
+  /** Random-hyperplane-style LSH buckets: sign bits of the first 8
+    * dimensions (axis-aligned hyperplanes — deterministic and
+    * oracle-expressible; production swaps in seeded random projections).
+    * The bucket is the blocking key that makes ANN sub-quadratic.
+    */
+  val qLshBuckets = Q(
+    "q41_ann_lsh_buckets",
+    (s, dir) => {
+      val bucket = (0 until 8).map(i =>
+        when(element_at(col("embedding"), i + 1) > 0, lit(1 << i))
+          .otherwise(lit(0))).reduce(_ + _)
+      emb(s, dir).select(col("vec_id"), bucket.as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+    },
+    Some {
+      val bits = (0 until 8).map(i =>
+        s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT $bits AS bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec
+         |FROM embeddings GROUP BY 1""".stripMargin
+    })
+
+  /** Bucketed ANN: cosine top-1 within each LSH bucket — the actual
+    * sub-quadratic search (join blocked on bucket), integer outputs only.
+    */
+  val qAnnBucketed = Q(
+    "q42_ann_bucketed_top1",
+    (s, dir) => {
+      val bucket = (0 until 8).map(i =>
+        when(element_at(col("embedding"), i + 1) > 0, lit(1 << i))
+          .otherwise(lit(0))).reduce(_ + _)
+      val e = emb(s, dir).withColumn("bucket", bucket)
+      val flat = e.select(col("vec_id"), col("bucket"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val dots = flat.as("a").join(flat.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+          col("a.pos") === col("b.pos") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .agg(sum(col("a.v") * col("b.v")).as("dot"))
+      val norms = flat.groupBy(col("vec_id"))
+        .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy((col("dot") / (col("qn") * col("nn"))).desc, col("nid").asc)
+      dots
+        .join(norms.select(col("vec_id").as("qid"), col("nrm").as("qn")), "qid")
+        .join(norms.select(col("vec_id").as("nid"), col("nrm").as("nn")), "nid")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("qid").as("vec_id"), col("nid").as("nn_id"))
+    },
+    Some {
+      val bits = (0 until 8).map(i =>
+        s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding, $bits AS bucket FROM embeddings),
+         |flat AS (
+         |  SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM e
+         |),
+         |dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS dot
+         |  FROM flat a JOIN flat b ON a.bucket = b.bucket AND a.pos = b.pos
+         |    AND a.vec_id <> b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id
+         |),
+         |norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id)
+         |SELECT vec_id, nn_id FROM (
+         |  SELECT d.qid AS vec_id, d.nid AS nn_id,
+         |    ROW_NUMBER() OVER (PARTITION BY d.qid
+         |      ORDER BY d.dot / (qn.nrm * nn.nrm) DESC, d.nid ASC) AS rnk
+         |  FROM dots d
+         |  JOIN norms qn ON qn.vec_id = d.qid
+         |  JOIN norms nn ON nn.vec_id = d.nid) t
+         |WHERE rnk = 1""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(qCosineTopK, qLshBuckets, qAnnBucketed)
+}

@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over the `documents` table — the ops a
+  * 100 TB webtext corpus needs beyond crawling: dedup (exact, normalized,
+  * MinHash/LSH, SimHash, n-gram Jaccard), language-ID, quality scoring,
+  * token counting, fingerprinting. Every query has a DuckDB oracle (dialect
+  * may differ; semantics must not).
+  *
+  * Scale notes: all shingle/minhash ops are explode → hash-partition on
+  * doc_id → partial-agg pipelines; LSH banding turns the O(n²) similarity
+  * join into per-bucket joins; at corpus scale buckets are the shuffle key
+  * and skewed buckets get salted.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** documents ∪ shifted copy (every 7th doc duplicated) — the fixture for
+    * dedup ops, since the driver corpus has no duplicate texts. Must match
+    * the oracle's docs_aug CTE exactly.
+    */
+  private def docsAug(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .union(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+  }
+
+  private val AugSql =
+    """docs_aug AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text, lang, source
+      |  FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
+  /** Exact dedup: hash-groupBy text, keep min doc_id (first-wins keeper). */
+  val qDedupExact = Q(
+    "q20_dedup_exact",
+    (s, dir) =>
+      docsAug(s, dir).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies")),
+    Some(s"WITH $AugSql\n" +
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM docs_aug GROUP BY text""".stripMargin))
+
+  /** Normalized dedup (lower+trim canonical form). */
+  val qDedupNorm = Q(
+    "q21_dedup_normalized",
+    (s, dir) =>
+      docsAug(s, dir)
+        .groupBy(lower(trim(col("text"))).as("norm"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies")),
+    Some(s"WITH $AugSql\n" +
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM docs_aug GROUP BY lower(trim(text))""".stripMargin))
+
+  /** Whitespace token counting (the BPE-ish regex variant is the
+    * TokenStats expression, unit-tested; this one is oracle-checkable).
+    */
+  val qTokenCount = Q(
+    "q22_token_count",
+    (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), " ")).as("n_tokens"),
+        length(col("text")).as("n_chars_real")),
+    Some("""SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_real
+        |FROM documents""".stripMargin))
+
+  /** Quality scoring: alpha ratio, stopword hits, length gates — all
+    * integer-stable (floor of scaled ratios) so both engines hash equal.
+    */
+  val qQualityScore = Q(
+    "q23_quality_score",
+    (s, dir) => {
+      val t = col("text")
+      val nTokens = size(split(trim(t), " "))
+      val alphaMilli = floor(lit(1000.0) *
+        length(regexp_replace(t, "[^a-z]", "")) / length(t)).cast("long")
+      val stopHits = ((length(t) - length(regexp_replace(t, "the", ""))) / 3)
+        .cast("long")
+      docs(s, dir).select(col("doc_id"),
+        nTokens.as("n_tokens"),
+        alphaMilli.as("alpha_milli"),
+        stopHits.as("stop_hits"),
+        (nTokens >= 5 && nTokens <= 1000 && alphaMilli >= 500).as("quality_ok"))
+    },
+    Some("""SELECT doc_id,
+        |  CAST(len(string_split(trim(text),' ')) AS INT) AS n_tokens,
+        |  CAST(floor(1000.0 * length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) AS BIGINT) AS alpha_milli,
+        |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS stop_hits,
+        |  len(string_split(trim(text),' ')) BETWEEN 5 AND 1000
+        |    AND floor(1000.0 * length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) >= 500 AS quality_ok
+        |FROM documents""".stripMargin))
+
+  /** Language-ID by stopword-hit heuristic (n-gram family; the corpus text
+    * is synthetic English-ish, so the heuristic keys on English function
+    * words).
+    */
+  val qLangId = Q(
+    "q24_lang_id",
+    (s, dir) => {
+      val t = concat(lit(" "), col("text"), lit(" "))
+      def hits(w: String) =
+        ((length(t) - length(regexp_replace(t, s" $w ", ""))) /
+          (w.length + 2)).cast("int")
+      val score = hits("the") + hits("a") + hits("of") + hits("and")
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        score.as("en_score"),
+        when(score >= 1, "en").otherwise("und").as("pred_lang"))
+    },
+    Some("""SELECT doc_id, lang,
+        |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+        |   + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
+        |   + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4
+        |   + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS INT) AS en_score,
+        |  CASE WHEN (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+        |   + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
+        |   + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4
+        |   + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 >= 1
+        |  THEN 'en' ELSE 'und' END AS pred_lang
+        |FROM documents""".stripMargin))
+
+  /** Document fingerprint (md5 whole-doc; the rolling-hash variant is the
+    * RollingHash custom expression, unit-tested separately).
+    */
+  val qFingerprint = Q(
+    "q25_fingerprint",
+    (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp")),
+    Some("SELECT doc_id, md5(text) AS fp FROM documents"))
+
+  /** 3-word shingles with positions (the substrate of MinHash/Jaccard).
+    * Bounded to doc_id < 100 to keep the verify output small.
+    */
+  val qShingles = Q(
+    "q26_shingles",
+    (s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 100)
+        .filter(size(split(trim(col("text")), " ")) >= 3)
+        .select(col("doc_id"), posexplode(
+          expr("transform(sequence(1, size(split(trim(text),' ')) - 2), " +
+            "i -> array_join(slice(split(trim(text),' '), i, 3), ' '))"))
+          .as(Seq("pos0", "shingle")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          md5(col("shingle").cast("binary")).as("sh_fp")),
+    Some("""SELECT d.doc_id AS doc_id, CAST(i AS INT) AS pos,
+        |  md5(array_to_string(w[i:i+2], ' ')) AS sh_fp
+        |FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |      FROM documents WHERE doc_id < 100) d,
+        |  unnest(range(1, len(w) - 1)) u(i)""".stripMargin))
+
+  /** MinHash signatures: k=6 hash families, each the lexicographic min of
+    * md5(seed || '|' || shingle) — portable across engines because the hex
+    * string IS the hash value.
+    */
+  val qMinHash = Q(
+    "q27_minhash_signature",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .filter(size(split(trim(col("text")), " ")) >= 3)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(split(trim(text),' ')) - 2), " +
+            "i -> array_join(slice(split(trim(text),' '), i, 3), ' '))"))
+          .as("shingle"))
+      sh.select(col("doc_id"), col("shingle"),
+          explode(array((0 until 6).map(lit): _*)).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("shingle"))
+          .cast("binary"))).as("minhash"))
+    },
+    Some("""WITH sh AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents) d,
+        |    unnest(range(1, len(w) - 1)) u(i)
+        |)
+        |SELECT doc_id, CAST(j AS INT) AS j,
+        |  MIN(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS minhash
+        |FROM sh, unnest([0,1,2,3,4,5]) s(j)
+        |GROUP BY doc_id, j""".stripMargin))
+
+  /** MinHash LSH banding: 3 bands × 2 rows; docs colliding in any band are
+    * near-dup candidate pairs. The O(n²) similarity join becomes per-bucket
+    * joins — the scale path for 10^9-doc dedup.
+    */
+  val qMinHashLsh = Q(
+    "q28_minhash_lsh_pairs",
+    (s, dir) => {
+      val aug = docsAug(s, dir)
+      val sh = aug.filter(size(split(trim(col("text")), " ")) >= 3)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(split(trim(text),' ')) - 2), " +
+            "i -> array_join(slice(split(trim(text),' '), i, 3), ' '))"))
+          .as("shingle"))
+      val mh = sh.select(col("doc_id"), col("shingle"),
+          explode(array((0 until 6).map(lit): _*)).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("shingle"))
+          .cast("binary"))).as("minhash"))
+      val bands = mh.withColumn("band", (col("j") / 2).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(concat_ws("#",
+          max(when(col("j") % 2 === 0, col("minhash"))),
+          max(when(col("j") % 2 === 1, col("minhash")))).as("band_key"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    },
+    Some(s"WITH $AugSql,\n" +
+      """sh AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM docs_aug) d,
+        |    unnest(range(1, len(w) - 1)) u(i)
+        |),
+        |mh AS (
+        |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS minhash
+        |  FROM sh, unnest([0,1,2,3,4,5]) s(j) GROUP BY doc_id, j
+        |),
+        |bands AS (
+        |  SELECT doc_id, CAST(j // 2 AS INT) AS band,
+        |    MAX(CASE WHEN j % 2 = 0 THEN minhash END) || '#' ||
+        |    MAX(CASE WHEN j % 2 = 1 THEN minhash END) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key
+        | AND a.doc_id < b.doc_id""".stripMargin))
+
+  /** Exact n-gram Jaccard over same-source blocked pairs (block = `source`;
+    * in production the block is the LSH bucket). Integer-stable output:
+    * floor(1000·|∩|/|∪|).
+    */
+  val qNgramJaccard = Q(
+    "q29_ngram_jaccard",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .filter(size(split(trim(col("text")), " ")) >= 3)
+        .select(col("doc_id"), col("source"), explode(
+          expr("transform(sequence(1, size(split(trim(text),' ')) - 2), " +
+            "i -> array_join(slice(split(trim(text),' '), i, 3), ' '))"))
+          .as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.source") === col("b.source") &&
+          col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          floor(lit(1000.0) * col("n_inter") /
+            (col("n_a") + col("n_b") - col("n_inter"))).cast("long")
+            .as("jaccard_milli"))
+    },
+    Some("""WITH sh AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents) d,
+        |    unnest(range(1, len(w) - 1)) u(i)
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.source = b.source
+        |    AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+        |  CAST(floor(1000.0 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT) AS jaccard_milli
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin))
+
+  /** SimHash (16-bit): per token, md5 hex digit i contributes ±1 to bit i;
+    * bit set where the sum is positive.
+    */
+  val qSimHash = Q(
+    "q30_simhash",
+    (s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("token"))
+        .withColumn("h", md5(col("token").cast("binary")))
+      val sums = (0 until 16).map { i =>
+        sum(when(substring(col("h"), i + 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+          .as(s"s$i")
+      }
+      val agg = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      val simhash = (0 until 16).map(i =>
+        when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      agg.select(col("doc_id"), simhash.as("simhash"))
+    },
+    Some {
+      val sums = (0 until 16).map(i =>
+        s"SUM(CASE WHEN substring(md5(token), ${i + 1}, 1) IN " +
+          s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val bits = (0 until 16).map(i =>
+        s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+         |  FROM documents
+         |),
+         |agg AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM agg""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(qDedupExact, qDedupNorm, qTokenCount, qQualityScore,
+    qLangId, qFingerprint, qShingles, qMinHash, qMinHashLsh, qNgramJaccard,
+    qSimHash)
+}
