@@ -147,13 +147,33 @@ object CrawlJob {
           if (spec.hostTokensPerWave == Int.MaxValue)
             (frontier, emptyFrontier)
           else {
+            val nonRetry = frontier.filter(!col("is_retry"))
+            // Two-phase salted ranking: phase 1 ranks within (host, salt) and
+            // keeps ≤k per bucket — the global per-host top-k (by the same
+            // total order) is always a subset of the per-salt survivors, so
+            // phase 2 over ≤ k·S rows/host is EXACT while the mega-host's
+            // window work spreads across S tasks (SURVEY.md §7 skew note).
+            val phase1 =
+              if (spec.skewSaltBuckets > 1)
+                nonRetry
+                  .withColumn("salt",
+                    pmod(hash(col("url")), lit(spec.skewSaltBuckets)))
+                  .withColumn("t1", row_number().over(
+                    Window.partitionBy(col("host"), col("salt"))
+                      .orderBy(col("priority").desc, col("rank").asc)))
+                  .filter(col("t1") <= spec.hostTokensPerWave)
+                  .drop("t1", "salt")
+              else nonRetry
             val tw = Window.partitionBy(col("host"))
               .orderBy(col("priority").desc, col("rank").asc)
-            val ranked = frontier.filter(!col("is_retry"))
-              .withColumn("tok", row_number().over(tw))
-            val g = ranked.filter(col("tok") <= spec.hostTokensPerWave).drop("tok")
-              .union(frontier.filter(col("is_retry")))
-            val d = ranked.filter(col("tok") > spec.hostTokensPerWave).drop("tok")
+            val grantedNR = phase1.withColumn("tok", row_number().over(tw))
+              .filter(col("tok") <= spec.hostTokensPerWave).drop("tok")
+            val g = grantedNR.union(frontier.filter(col("is_retry")))
+            // rank is unique per wave → anti-join on rank recovers the
+            // deferred set without assuming url uniqueness
+            val d = nonRetry.join(grantedNR.select(col("rank")), Seq("rank"),
+              "left_anti")
+              .select(emptyFrontier.columns.map(col).toIndexedSeq: _*)
             (g, d)
           }
 
