@@ -20,7 +20,7 @@ object EventQueries {
   val qWindowCounts = Q(
     "q50_window_counts",
     (s, dir) =>
-      graft.streaming.StreamOps.windowedCounts(events(s, dir)),
+      graft.streaming.StreamOps.windowedCountsWithUsers(events(s, dir)),
     Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin))

@@ -12,11 +12,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object StreamOps {
 
-  /** Tumbling 1h window counts per event type. In streaming mode callers
+  /** Tumbling 1h window counts per event type — streaming-safe (no exact
+    * distinct; Structured Streaming forbids it). In streaming mode callers
     * prepend `.withWatermark("ts", "2 hours")`; date_trunc keys the window
     * start identically in both modes.
     */
   def windowedCounts(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Batch-only variant adding an exact per-window user count (streaming
+    * would need approx_count_distinct or a pre-dedup stage).
+    */
+  def windowedCountsWithUsers(events: DataFrame): DataFrame =
     events.groupBy(date_trunc("hour", col("ts")).as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
