@@ -66,7 +66,10 @@ final case class CrawlSpec(
     hostTokensPerWave: Int = Int.MaxValue,
     requestDelayMs: Long = 0L,
     waveIntervalMs: Long = 1000L,
-    concurrentRequests: Int = 100000,          // options.go:41 → wave size cap
+    // options.go:41 → wave size cap. The reference default (100000 in-flight)
+    // only throttles sockets; in wave mode the cap is off unless the caller
+    // wants bounded waves (RequestsPerSecond × waveInterval collapses here).
+    concurrentRequests: Int = Int.MaxValue,
     parseHtmlDisabled: Boolean = false,        // options.go:73
     parserId: String = "default",
     // Scale path: Bloom-prefiltered seen-set anti-join (graft.state.SeenSet).

@@ -177,9 +177,25 @@ object CrawlJob {
             (g, d)
           }
 
+        // ---- global concurrency cap (geziyor.go:109-111 semaphore → wave
+        // size cap; RequestsPerSecond × waveInterval collapses to the same
+        // bound in wave mode). Like politeness, excess is deferred, never
+        // dropped.
+        val waveCap = spec.concurrentRequests.toLong
+        val (granted2, deferred2) =
+          if (waveCap >= Int.MaxValue)
+            (granted, deferred)
+          else {
+            val gw = Window.orderBy(col("rank").asc)
+            val ranked = granted.withColumn("gidx", row_number().over(gw))
+            val g2 = ranked.filter(col("gidx") <= waveCap).drop("gidx")
+            val d2 = ranked.filter(col("gidx") > waveCap).drop("gidx")
+            (g2, deferred.union(d2))
+          }
+
         // ---- robots: incrementally fetch rules for NEW hosts ------------
         if (!spec.robotsTxtDisabled) {
-          val newHosts = granted.select(col("host")).distinct()
+          val newHosts = granted2.select(col("host")).distinct()
             .join(robotRules, col("host") === col("r_host"), "left_anti")
           val fetched = newHosts
             .join(corpus,
@@ -196,11 +212,11 @@ object CrawlJob {
         }
 
         val (robotsOk, robotsBlocked) =
-          if (spec.robotsTxtDisabled) (granted, emptyFrontier)
+          if (spec.robotsTxtDisabled) (granted2, emptyFrontier)
           else {
             val isBlocked = udf((path: String, prefixes: Seq[String]) =>
               prefixes != null && prefixes.exists(path.startsWith))
-            val j = granted.join(broadcast(robotRules),
+            val j = granted2.join(broadcast(robotRules),
               col("host") === col("r_host"), "left")
             (j.filter(col("is_retry") ||
                 !isBlocked(col("path"), col("prefixes")))
@@ -367,7 +383,7 @@ object CrawlJob {
         seen = seen.union(nextFrontier.select(col("url"))).distinct()
           .localCheckpoint(true)
         val fw = Window.orderBy(col("grp").asc, col("rank").asc)
-        frontier = deferred.withColumn("wave", col("wave") + 1).withColumn("grp", lit(0))
+        frontier = deferred2.withColumn("wave", col("wave") + 1).withColumn("grp", lit(0))
           .union(requeue.withColumn("grp", lit(1)))
           .union(nextFrontier.withColumn("grp", lit(2)))
           .withColumn("rank", row_number().over(fw).cast("long"))

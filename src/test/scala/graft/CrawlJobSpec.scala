@@ -160,6 +160,20 @@ class CrawlJobSpec extends AnyFunSuite {
     assert(seenSet(res) == sim.seen)
   }
 
+  test("global concurrency cap bounds wave size, defers by rank, loses nothing") {
+    val spec = CrawlSpec(startUrls = Seq("http://mega.example.com/"),
+      parserId = "all_links", concurrentRequests = 7, maxWaves = 30)
+    val sim = ReferenceSimulator.crawl(spec, pagesMap)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val perWave = res.crawlOrder.groupBy("wave").count()
+      .collect().map(r => r.getLong(1))
+    assert(perWave.forall(_ <= 7))
+    assert(auditKinds(res)("crawled") == 51)
+    assert(recordSeq(res) == sim.records)
+    assert(orderSeq(res) == sim.order)
+    assert(res.waves == sim.waves && res.waves >= 8)
+  }
+
   test("URLRevisitEnabled revisits duplicate links") {
     // books index links cat_1 twice: with revisit, cat_1 is fetched twice
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.BooksBase),

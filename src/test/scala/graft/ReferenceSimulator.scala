@@ -71,10 +71,20 @@ object ReferenceSimulator {
           (g.toSeq, d.toSeq)
         }
 
+      // global concurrency cap: wave size bound, excess deferred by rank
+      val (granted2, deferredCap) =
+        if (spec.concurrentRequests >= Int.MaxValue) (granted, Seq.empty[Req])
+        else {
+          val sorted = granted.sortBy(_.rank)
+          (sorted.take(spec.concurrentRequests),
+            sorted.drop(spec.concurrentRequests))
+        }
+      val deferredAll = deferred ++ deferredCap
+
       val requeued = mutable.ArrayBuffer.empty[Req]
       val discovered = mutable.ArrayBuffer.empty[(Long, Int, Req)] // (parentRank, pos, req)
 
-      granted.sortBy(_.rank).foreach { r =>
+      granted2.sortBy(_.rank).foreach { r =>
         // robots (retries bypass; rules fetched lazily per host)
         val blocked = !spec.robotsTxtDisabled && !r.isRetry && {
           val rules = robotRules.getOrElseUpdate(r.host,
@@ -143,7 +153,7 @@ object ReferenceSimulator {
       }
 
       // next frontier ordering: deferred, then retries, then new; re-rank 1..n
-      val next = (deferred.sortBy(_.rank) ++ requeued.sortBy(_.rank) ++ kept)
+      val next = (deferredAll.sortBy(_.rank) ++ requeued.sortBy(_.rank) ++ kept)
         .zipWithIndex.map { case (r, i) => r.copy(rank = (i + 1).toLong) }
       frontier = next
       wave += 1
