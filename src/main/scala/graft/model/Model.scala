@@ -76,6 +76,13 @@ final case class CrawlSpec(
     // Semantically identical to the plain anti-join (no false negatives);
     // cuts the dedup shuffle to ~new-URL volume at steady state.
     bloomDedup: Boolean = false,
+    // Sync-order mode (default) assigns a deterministic global discovery
+    // rank per wave — the parity mode that reproduces the reference's
+    // synchronized crawl order exactly (geziyor.go:225-227) at the cost of
+    // one single-partition window per wave. At cluster scale set false:
+    // ranks become partition-local (still unique, still stable for dedup
+    // and politeness ties, but not a global total order).
+    syncOrder: Boolean = true,
     // Skew handling: hosts holding more than this share of a wave get salted
     // into this many sub-partitions (SURVEY.md §7 hard parts).
     skewSaltBuckets: Int = 8

@@ -372,9 +372,23 @@ object CrawlJob {
         // Next-wave ranks are made unique across the three sources by group
         // offsets: deferred (oldest pending) < retries < new discoveries —
         // so the (wave, rank) record key is always a total order.
-        val rw = Window.orderBy(col("parent_rank").asc, col("link_pos").asc)
-        val nextFrontier = candNew
-          .withColumn("rank", row_number().over(rw).cast("long"))
+        // discovery rank: sync-order mode = one global window (exact
+        // reference order, parity/test mode); scale mode = bucketed windows
+        // (unique + deterministic, P-way parallel, not a global total order)
+        val RankBuckets = 1024
+        val ranked0 =
+          if (spec.syncOrder) {
+            val rw = Window.orderBy(col("parent_rank").asc, col("link_pos").asc)
+            candNew.withColumn("rank", row_number().over(rw).cast("long"))
+          } else {
+            val bw = Window
+              .partitionBy(pmod(hash(col("url")), lit(RankBuckets)))
+              .orderBy(col("parent_rank").asc, col("link_pos").asc)
+            candNew.withColumn("rank",
+              pmod(hash(col("url")), lit(RankBuckets)).cast("long") *
+                lit(1L << 40) + row_number().over(bw).cast("long"))
+          }
+        val nextFrontier = ranked0
           .select(col("url"), col("host"), col("path"), col("depth"),
             lit("GET").as("method"), col("meta"), lit(0).as("retry"),
             lit(0).as("priority"), lit(wave + 1).as("wave"), col("rank"),
@@ -382,12 +396,23 @@ object CrawlJob {
 
         seen = seen.union(nextFrontier.select(col("url"))).distinct()
           .localCheckpoint(true)
-        val fw = Window.orderBy(col("grp").asc, col("rank").asc)
-        frontier = deferred2.withColumn("wave", col("wave") + 1).withColumn("grp", lit(0))
+        val assembled = deferred2.withColumn("wave", col("wave") + 1)
+          .withColumn("grp", lit(0))
           .union(requeue.withColumn("grp", lit(1)))
           .union(nextFrontier.withColumn("grp", lit(2)))
-          .withColumn("rank", row_number().over(fw).cast("long"))
-          .drop("grp")
+        frontier = {
+          if (spec.syncOrder) {
+            val fw = Window.orderBy(col("grp").asc, col("rank").asc)
+            assembled.withColumn("rank", row_number().over(fw).cast("long"))
+          } else {
+            val bw = Window
+              .partitionBy(pmod(hash(col("url")), lit(RankBuckets)))
+              .orderBy(col("grp").asc, col("rank").asc)
+            assembled.withColumn("rank",
+              pmod(hash(col("url")), lit(RankBuckets)).cast("long") *
+                lit(1L << 40) + row_number().over(bw).cast("long"))
+          }
+        }.drop("grp")
           .localCheckpoint(true)
         records = records.localCheckpoint(true)
         audit = audit.localCheckpoint(true)

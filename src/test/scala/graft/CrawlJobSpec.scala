@@ -190,6 +190,22 @@ class CrawlJobSpec extends AnyFunSuite {
     // but the index url itself can be re-discovered from category pages later
   }
 
+  test("scale-mode ranking (syncOrder=false) preserves results modulo order") {
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.BooksBase),
+      allowedDomains = Seq("books.toscrape.com"),
+      parserId = "all_links", maxWaves = 20)
+    val sync = CrawlJob.run(spark, spec, pagesDf)
+    val scale = CrawlJob.run(spark, spec.copy(syncOrder = false), pagesDf)
+    assert(recordSeq(scale).sorted == recordSeq(sync).sorted)
+    assert(seenSet(scale) == seenSet(sync))
+    assert(auditKinds(scale) == auditKinds(sync))
+    assert(scale.waves == sync.waves)
+    // per-wave fetch sets identical (BFS generations don't depend on rank)
+    val a = scale.crawlOrder.collect().map(r => (r.getInt(0), r.getString(2))).toSet
+    val b = sync.crawlOrder.collect().map(r => (r.getInt(0), r.getString(2))).toSet
+    assert(a == b)
+  }
+
   test("maxDepth caps frontier expansion") {
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
       parserId = "quotes", maxDepth = 2, maxWaves = 20)
