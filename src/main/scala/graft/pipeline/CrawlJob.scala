@@ -45,6 +45,8 @@ object CrawlJob {
       audit: DataFrame,      // wave, kind, method, status, host, url, detail
       seen: DataFrame,       // url
       crawlOrder: DataFrame, // wave, rank, url  (issued fetches, determ. order)
+      metrics: DataFrame,    // wave, metric, value — per-wave counters
+      lineage: DataFrame,    // wave, partition_id, n_rows — granted-set lineage
       waves: Int)
 
   private val RedirectStatuses = Seq(301, 302, 303, 307, 308)
@@ -73,7 +75,8 @@ object CrawlJob {
       spec: CrawlSpec,
       pages: DataFrame,
       parsers: Map[String, Parser] = Parsers.registry,
-      stateDir: Option[String] = None): CrawlResult = {
+      stateDir: Option[String] = None,
+      seedsDf: Option[DataFrame] = None): CrawlResult = {
     import spark.implicits._
 
     val hostOfU = udf((u: String) => UrlOps.hostOf(u))
@@ -120,18 +123,62 @@ object CrawlJob {
       case None =>
         // Seeds pass AllowedDomains + dedup exactly like discovered urls
         // (the reference runs seeds through the same middleware chain).
-        val seedsRaw = spec.startUrls.zipWithIndex
-          .map { case (u, i) =>
-            (u, UrlOps.hostOf(u), UrlOps.pathOf(u), 0, "GET",
-              Map.empty[String, String], 0, 0, 0, i.toLong, spec.parserId, false)
-          }
-          .toDF("url", "host", "path", "depth", "method", "meta", "retry",
-            "priority", "wave", "rank", "parser_id", "is_retry")
+        // Seed source: a driver-side StartURLs list (parity mode, ordered)
+        // or a seeds DataFrame with a `url` column (scale mode — a 10^10
+        // frontier seed list is a table, not a Seq).
+        val seedsRaw = seedsDf match {
+          case Some(df) =>
+            val bw = Window
+              .partitionBy(pmod(hash(col("url")), lit(1024)))
+              .orderBy(col("url"))
+            df.select(col("url")).withColumn("host", hostOfU(col("url")))
+              .withColumn("path", pathOfU(col("url")))
+              .withColumn("depth", lit(0))
+              .withColumn("method", lit("GET"))
+              .withColumn("meta", map().cast("map<string,string>"))
+              .withColumn("retry", lit(0))
+              .withColumn("priority", lit(0))
+              .withColumn("wave", lit(0))
+              .withColumn("rank",
+                pmod(hash(col("url")), lit(1024)).cast("long") *
+                  lit(1L << 40) + row_number().over(bw).cast("long"))
+              .withColumn("parser_id", lit(spec.parserId))
+              .withColumn("is_retry", lit(false))
+          case None =>
+            spec.startUrls.zipWithIndex
+              .map { case (u, i) =>
+                (u, UrlOps.hostOf(u), UrlOps.pathOf(u), 0, "GET",
+                  Map.empty[String, String], 0, 0, 0, i.toLong, spec.parserId,
+                  false)
+              }
+              .toDF("url", "host", "path", "depth", "method", "meta", "retry",
+                "priority", "wave", "rank", "parser_id", "is_retry")
+        }
         val seedsAllowed =
           if (spec.allowedDomains.isEmpty) seedsRaw
           else seedsRaw.filter(col("host").isin(spec.allowedDomains: _*))
         frontier = seedsAllowed.dropDuplicates("url")
         seen = frontier.select(col("url"))
+    }
+
+    // per-wave counters + per-partition lineage of the granted set
+    // (north-star: frontier mutations emit lineage + metrics to the audit
+    // store). Tiny driver-side buffers — ≤ #partitions rows per wave.
+    val metricsBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val lineageBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+
+    // Per-wave persists live until the end of the crawl: the records/
+    // audit/order accumulators union LAZY references into them, so each
+    // wave's pipeline materializes exactly once (at its own checkpoint
+    // points), and the accumulated outputs are folded ONCE at loop exit.
+    val persisted = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Dataset[_]]
+
+    val debug = sys.env.contains("GRAFT_WAVE_DEBUG")
+    def dbg(tag: String, t0: Long): Long = {
+      val t = System.nanoTime()
+      if (debug) println(f"[wave-debug] $tag%-24s ${(t - t0) / 1e9}%8.2fs")
+      t
     }
 
     var wave = startWave
@@ -140,6 +187,8 @@ object CrawlJob {
     while (!done && wave < spec.maxWaves) {
       if (frontier.isEmpty) { done = true }
       else {
+        var tMark = System.nanoTime()
+        if (debug) println(s"[wave-debug] ==== wave $wave ====")
         // ---- politeness: grant ≤ k tokens per host this wave ------------
         // (retries bypass the token budget — the reference retries inside
         // the client without re-running the delay middleware)
@@ -153,27 +202,30 @@ object CrawlJob {
             // total order) is always a subset of the per-salt survivors, so
             // phase 2 over ≤ k·S rows/host is EXACT while the mega-host's
             // window work spreads across S tasks (SURVEY.md §7 skew note).
-            val phase1 =
-              if (spec.skewSaltBuckets > 1)
-                nonRetry
+            val cols = emptyFrontier.columns.map(col).toIndexedSeq
+            val (phase1, deferredA) =
+              if (spec.skewSaltBuckets > 1) {
+                val salted = nonRetry
                   .withColumn("salt",
                     pmod(hash(col("url")), lit(spec.skewSaltBuckets)))
                   .withColumn("t1", row_number().over(
                     Window.partitionBy(col("host"), col("salt"))
                       .orderBy(col("priority").desc, col("rank").asc)))
-                  .filter(col("t1") <= spec.hostTokensPerWave)
-                  .drop("t1", "salt")
-              else nonRetry
+                (salted.filter(col("t1") <= spec.hostTokensPerWave)
+                   .select(cols: _*),
+                 salted.filter(col("t1") > spec.hostTokensPerWave)
+                   .select(cols: _*))
+              } else (nonRetry, emptyFrontier)
             val tw = Window.partitionBy(col("host"))
               .orderBy(col("priority").desc, col("rank").asc)
-            val grantedNR = phase1.withColumn("tok", row_number().over(tw))
-              .filter(col("tok") <= spec.hostTokensPerWave).drop("tok")
+            val ranked2 = phase1.withColumn("tok", row_number().over(tw))
+            val grantedNR = ranked2.filter(col("tok") <= spec.hostTokensPerWave)
+              .select(cols: _*)
             val g = grantedNR.union(frontier.filter(col("is_retry")))
-            // rank is unique per wave → anti-join on rank recovers the
-            // deferred set without assuming url uniqueness
-            val d = nonRetry.join(grantedNR.select(col("rank")), Seq("rank"),
-              "left_anti")
-              .select(emptyFrontier.columns.map(col).toIndexedSeq: _*)
+            // deferred = phase-1 drops ∪ phase-2 drops (no join needed)
+            val d = deferredA.union(
+              ranked2.filter(col("tok") > spec.hostTokensPerWave)
+                .select(cols: _*))
             (g, d)
           }
 
@@ -181,6 +233,9 @@ object CrawlJob {
         // size cap; RequestsPerSecond × waveInterval collapses to the same
         // bound in wave mode). Like politeness, excess is deferred, never
         // dropped.
+        val auditInc = scala.collection.mutable.ArrayBuffer
+          .empty[DataFrame]
+
         val waveCap = spec.concurrentRequests.toLong
         val (granted2, deferred2) =
           if (waveCap >= Int.MaxValue)
@@ -211,6 +266,9 @@ object CrawlJob {
           robotRules = robotRules.union(newRules).localCheckpoint(true)
         }
 
+        granted2.persist(StorageLevel.MEMORY_AND_DISK)
+        deferred2.persist(StorageLevel.MEMORY_AND_DISK)
+
         val (robotsOk, robotsBlocked) =
           if (spec.robotsTxtDisabled) (granted2, emptyFrontier)
           else {
@@ -226,15 +284,23 @@ object CrawlJob {
                .drop("r_host", "prefixes"))
           }
 
-        audit = audit.union(robotsBlocked.select(col("wave"), lit("robots_forbidden"),
+        auditInc += (robotsBlocked.select(col("wave"), lit("robots_forbidden"),
           col("method"), lit(0), col("host"), col("url"), lit("")))
-
-        order = order.union(robotsOk.select(col("wave"), col("rank"), col("url")))
 
         // ---- fetch join with transparent redirect following -------------
         var pending = robotsOk
           .withColumn("cur_url", col("url")).withColumn("hops", lit(0))
           .localCheckpoint(true)
+
+        tMark = dbg("politeness+robots+chk", tMark)
+        // order/metrics/lineage read from the materialized pending set —
+        // no recompute of the politeness/robots pipeline
+        order = order.union(
+          pending.select(col("wave"), col("rank"), col("url")))
+        metricsBuf += ((wave, "frontier_size", frontier.count()))
+        lineageBuf ++= pending.groupBy(spark_partition_id().as("pid"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => (wave, r.getInt(0), r.getLong(1)))
         var fetched = pending.limit(0)
           .withColumn("p_status", lit(null).cast("int"))
           .withColumn("p_ct", lit(null).cast("string"))
@@ -260,14 +326,15 @@ object CrawlJob {
               .localCheckpoint(true)
           hop += 1
         }
+        tMark = dbg("order+metrics+lineage", tMark)
         fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
 
         // fetch misses = transport-error analog → ErrorFunc audit branch
         val misses = fetched.filter(col("p_status").isNull)
-        audit = audit.union(misses.select(col("wave"), lit("fetch_miss"),
+        auditInc += (misses.select(col("wave"), lit("fetch_miss"),
           col("method"), lit(-1), col("host"), col("url"),
           concat(lit("no such page: "), col("cur_url"))))
-        audit = audit.union(fetched.filter(col("redirect_exceeded"))
+        auditInc += (fetched.filter(col("redirect_exceeded"))
           .select(col("wave"), lit("redirect_exceeded"), col("method"),
             col("p_status"), col("host"), col("url"),
             lit(s"stopped after ${spec.maxRedirect} redirects")))
@@ -281,10 +348,10 @@ object CrawlJob {
             col("method"), col("meta"), (col("retry") + 1).as("retry"),
             col("priority"), (col("wave") + 1).as("wave"), col("rank"),
             col("parser_id"), lit(true).as("is_retry"))
-        audit = audit.union(retryable.filter(col("retry") < spec.retryTimes)
+        auditInc += (retryable.filter(col("retry") < spec.retryTimes)
           .select(col("wave"), lit("retry"), col("method"), col("p_status"),
             col("host"), col("url"), concat(lit("attempt "), col("retry") + 1)))
-        audit = audit.union(retryable.filter(col("retry") >= spec.retryTimes)
+        auditInc += (retryable.filter(col("retry") >= spec.retryTimes)
           .select(col("wave"), lit("retry_exhausted"), col("method"),
             col("p_status"), col("host"), col("url"),
             lit(s"gave up after ${spec.retryTimes} retries")))
@@ -292,7 +359,7 @@ object CrawlJob {
         // ---- deliver responses → decode → parse --------------------------
         val responses = fetched.filter(col("p_status").isNotNull &&
           !col("p_status").isin(retryCodes: _*) && !col("redirect_exceeded"))
-        audit = audit.union(responses.select(col("wave"), lit("crawled"),
+        auditInc += (responses.select(col("wave"), lit("crawled"),
           col("method"), col("p_status"), col("host"), col("url"), lit("")))
 
         val reg = parsers
@@ -324,7 +391,8 @@ object CrawlJob {
             "records", "links", "parse_error")
           .persist(StorageLevel.MEMORY_AND_DISK)
 
-        audit = audit.union(parsed.filter(col("parse_error").isNotNull)
+        tMark = dbg("fetch-loop(lazy)", tMark)
+        auditInc += (parsed.filter(col("parse_error").isNotNull)
           .select(col("wave"), lit("parse_error"), lit("GET"), lit(0),
             col("host"), col("url"), col("parse_error")))
 
@@ -347,7 +415,7 @@ object CrawlJob {
           if (spec.allowedDomains.isEmpty) (cand, cand.limit(0))
           else (cand.filter(col("host").isin(spec.allowedDomains: _*)),
             cand.filter(!col("host").isin(spec.allowedDomains: _*)))
-        audit = audit.union(candRejected
+        auditInc += (candRejected
           .select(lit(wave), lit("rejected_domain"), lit("GET"), lit(0),
             col("host"), col("url"), lit("")))
 
@@ -394,8 +462,14 @@ object CrawlJob {
             lit(0).as("priority"), lit(wave + 1).as("wave"), col("rank"),
             col("parser_id"), lit(false).as("is_retry"))
 
-        seen = seen.union(nextFrontier.select(col("url"))).distinct()
-          .localCheckpoint(true)
+        tMark = dbg("records-chk", tMark)
+        // candNew is unique per wave and anti-joined against seen, so the
+        // increment needs no distinct; checkpoint only the increment (the
+        // accumulated union of materialized pieces stays cheap) — read it
+        // from candNew to skip the discovery-rank window entirely
+        seen = seen.union(
+          candNew.select(col("url")).localCheckpoint(true))
+        tMark = dbg("seen-increment-chk", tMark)
         val assembled = deferred2.withColumn("wave", col("wave") + 1)
           .withColumn("grp", lit(0))
           .union(requeue.withColumn("grp", lit(1)))
@@ -414,12 +488,14 @@ object CrawlJob {
           }
         }.drop("grp")
           .localCheckpoint(true)
-        records = records.localCheckpoint(true)
-        audit = audit.localCheckpoint(true)
-        order = order.localCheckpoint(true)
+        tMark = dbg("frontier-assembly-chk", tMark)
+        audit = audit.union(auditInc.reduce(_ union _))
+        tMark = dbg("audit-fold-chk", tMark)
 
-        fetched.unpersist()
-        parsed.unpersist()
+        persisted += fetched
+        persisted += parsed
+        granted2.unpersist()
+        deferred2.unpersist()
 
         stateDir.foreach { dir =>
           StateStore.commitWave(dir, wave, Map(
@@ -431,6 +507,18 @@ object CrawlJob {
       }
     }
 
-    CrawlResult(records, audit, seen, order, wave)
+    // single final materialization of the accumulated outputs, then release
+    // the per-wave caches they were computed from
+    records = records.localCheckpoint(true)
+    audit = audit.localCheckpoint(true)
+    order = order.localCheckpoint(true)
+    persisted.foreach(_.unpersist())
+
+    val auditMetrics = audit.groupBy(col("wave"), col("kind").as("metric"))
+      .agg(count(lit(1)).as("value"))
+    val metrics = auditMetrics.union(
+      metricsBuf.toSeq.toDF("wave", "metric", "value"))
+    val lineage = lineageBuf.toSeq.toDF("wave", "partition_id", "n_rows")
+    CrawlResult(records, audit, seen, order, metrics, lineage, wave)
   }
 }

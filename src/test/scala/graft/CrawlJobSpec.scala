@@ -222,6 +222,23 @@ class CrawlJobSpec extends AnyFunSuite {
     assert(recordSeq(res).isEmpty)
   }
 
+  test("metrics + per-partition lineage tables are emitted per wave") {
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 20)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val m = res.metrics.collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 10 waves, each with frontier_size 1 and one crawled page
+    (0 until 10).foreach { w =>
+      assert(m((w, "frontier_size")) == 1, s"wave $w")
+      assert(m((w, "crawled")) == 1, s"wave $w")
+    }
+    val lin = res.lineage.collect()
+    assert(lin.map(_.getInt(0)).distinct.length == 10)  // every wave covered
+    // lineage row counts sum to total granted fetches
+    assert(lin.map(_.getLong(2)).sum == res.crawlOrder.count())
+  }
+
   test("fetch miss lands in the audit as the ErrorFunc analog") {
     val spec = CrawlSpec(startUrls = Seq("http://nowhere.example.com/x"),
       parserId = "all_links", maxWaves = 2)
