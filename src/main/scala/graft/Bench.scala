@@ -258,7 +258,7 @@ object Bench {
     cooldown()
 
     // ---- phase 3: engine-level CrawlJob scaling --------------------------
-    val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "8000000").toLong
+    val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "4000000").toLong
     def crawlAt(cores: Int): Double = {
       val s = session(cores)
       crawlBench(s, crawlN / 10, crawlN / 80) // warm-up, untimed
