@@ -31,13 +31,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Driver heap: honor SPARK_DRIVER_MEM but CLAMP it — round-1's bench died
+// (exit 137) with an oversized pre-touched heap competing with executor
+// JVMs and tmpfs shuffle scratch for the same 128 GiB of physical RAM.
+val driverMemGb: Int = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "22g")
+    .toLowerCase.stripSuffix("g")
+  math.min(scala.util.Try(req.toDouble).getOrElse(22.0), 28.0).toInt
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${driverMemGb}g",
   // Firecracker microVM: first-touch page faults are expensive kernel time;
-  // pre-touching the heap at JVM start keeps them out of measured regions.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // pre-touching a modest initial heap keeps them out of measured regions
+  // (only Xms is pre-touched, so this stays RAM-cheap).
+  "-Xms4g",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseParallelGC",
 )

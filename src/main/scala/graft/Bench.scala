@@ -1,10 +1,27 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Benchmark main (driver contract: ONE JSON line on stdout).
+  *
+  * Harness-survivability design (round-1 postmortem: the driver's bench run
+  * was killed with zero evidence because the single JSON line printed only
+  * after every phase finished, a subprocess stderr pipe was never drained,
+  * and the default sizes outran the driver's time budget):
+  *  - ALL results accumulate in a mutable map; `emit()` prints the contract
+  *    line exactly once (idempotent, atomically guarded);
+  *  - a watchdog thread force-emits whatever has been measured and halts the
+  *    JVM if the wall-clock budget (+grace) is exceeded — a hung Spark job
+  *    can never cost the round its bench evidence;
+  *  - a JVM shutdown hook emits on SIGTERM / unexpected exit;
+  *  - every phase runs under try/catch and checks the remaining budget
+  *    before each measurement;
+  *  - heavy phases (multi-JVM local-cluster runs, full engine crawls) are
+  *    OPT-IN via SPARK_GRAFT_PHASES; defaults are wave+queries at sizes that
+  *    fit well inside a ~10-minute driver budget including sbt compile.
   *
   * Two measurements:
   *  1. per-query wall times for every SparkEntry query at the default
@@ -13,11 +30,6 @@ import org.apache.spark.sql.expressions.Window
   *     synthetic Zipf-skewed frontier, run at local[8] and local[32] on the
   *     SAME input — the sandbox substitute for N vs 4N executors — with
   *     scaling efficiency T(32) / (4·T(8)).
-  *
-  * The throughput job is the crawl inner loop: intra-batch first-wins dedup
-  * → seen-set anti-join → per-host politeness ranking → fetch join vs a
-  * pages table → status aggregation. Input generation is excluded from the
-  * timed window (persisted + counted first).
   */
 object Bench {
 
@@ -62,13 +74,18 @@ object Bench {
   private[graft] def runWave(spark: SparkSession, n: Long): Double = {
     import org.apache.spark.storage.StorageLevel
     val pageSpace = (n * 8) / 10            // 20% intra-batch dup urls
-    val f = frontier(spark, n, pageSpace).persist(StorageLevel.MEMORY_AND_DISK)
+    // SER storage: deserialized caches of multi-million-row inputs thrash
+    // executor GC (observed 30-43% of task time in GC at 9g heaps);
+    // serialized blocks are ~5x smaller and GC-invisible.
+    val f = frontier(spark, n, pageSpace)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val seen = spark.range(pageSpace / 2)   // half the url space already seen
-      .select(urlOf(col("id")).as("url")).persist(StorageLevel.MEMORY_AND_DISK)
+      .select(urlOf(col("id")).as("url"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val pages = spark.range((pageSpace * 7) / 10) // 70% fetch hit rate
       .select(urlOf(col("id")).as("url"),
         when(col("id") % 37 === 0, 503).otherwise(200).as("status"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     f.count(); seen.count(); pages.count()  // materialize outside the clock
 
     val t0 = System.nanoTime()
@@ -141,6 +158,27 @@ object Bench {
     (secs, crawled)
   }
 
+  /** Shuffle scratch: tmpfs when it has comfortable headroom (this microVM
+    * pays heavy kernel time for ext4 scratch), else plain /tmp — shuffle
+    * blocks in /dev/shm compete with JVM heaps for the same physical RAM,
+    * one of the round-1 OOM suspects.
+    */
+  private def localDir(): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.exists() && shm.getUsableSpace > 24L * (1L << 30))
+      "/dev/shm/graft-spark"
+    else "/tmp/graft-spark"
+  }
+
+  private def cleanupLocalDir(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Seq("/dev/shm/graft-spark", "/tmp/graft-spark")
+      .map(new java.io.File(_)).filter(_.exists()).foreach(rm)
+  }
+
   private def session(cores: Int): SparkSession = {
     // default: local[cores]. Override per size with SPARK_GRAFT_MASTER_<c>
     // (e.g. local-cluster[4,8,16384] — real separate executor JVMs, the
@@ -161,9 +199,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // this microVM pays heavy kernel time for ext4 shuffle scratch;
-      // tmpfs keeps shuffle blocks in RAM (we have 125 GiB)
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.local.dir", localDir())
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -171,128 +207,222 @@ object Bench {
     s
   }
 
+  // ---- contract-line plumbing --------------------------------------------
+  private val results =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private val queryTimes =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
+  private val emitted = new AtomicBoolean(false)
+
+  private def put(k: String, v: Double, fmt: String = "%.3f"): Unit =
+    results.synchronized { results(k) = fmt.format(v) }
+  private def putRaw(k: String, v: String): Unit =
+    results.synchronized { results(k) = v }
+
+  /** Print the ONE contract JSON line (idempotent). Safe to call from the
+    * watchdog/shutdown hook while a phase is mid-flight.
+    */
+  private def emit(sfDir: String): Unit = {
+    if (!emitted.compareAndSet(false, true)) return
+    val (qs, total) = queryTimes.synchronized {
+      (queryTimes.toSeq, queryTimes.values.sum)
+    }
+    val qJson = qs.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val extra = results.synchronized {
+      results.toSeq.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    }
+    val extraPart = if (extra.isEmpty) "" else s",$extra"
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"$extraPart,"scaling_note":"same inputs per BASELINE.md: wave = fetch+dedup pipeline at local[8] vs local[32] (4x cores, one JVM); executor numbers (opt-in phase) = SAME job on local-cluster with separate executor JVMs at 1 vs 4 executors x 8 cores; crawljob (opt-in phase) = full BFS engine incl. parse"}""")
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "16000000").toLong
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4000000").toLong
+    // Default phases: `cluster` (the literal north-rule setup — same job,
+    // same input, 1 vs 4 executor JVMs × 8 cores) + per-query timings.
+    // `wave` (single-JVM thread scaling) and `crawl` (full engine) opt in.
     val phases = sys.env
-      .getOrElse("SPARK_GRAFT_PHASES", "queries,wave,crawl,cluster")
+      .getOrElse("SPARK_GRAFT_PHASES", "cluster,queries")
       .split(",").map(_.trim).toSet
+    // Wall-clock budget for the whole main (driver budget is ~10 min
+    // INCLUDING sbt startup+compile; leave ample headroom).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "390").toLong
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    def remaining: Double = budgetSec - elapsed
 
-    // Phases run scaling-first: this microVM's throughput sags under
-    // sustained memory churn and recovers when idle, so the headline
-    // measurements happen on the freshest machine state, with short
-    // cooldowns between phases.
-    def cooldown(): Unit = { System.gc(); Thread.sleep(8000) }
+    // Watchdog: if anything hangs past budget+grace, emit what we have and
+    // hard-halt — partial evidence beats none (round-1 lesson).
+    val watchdog = new Thread(() => {
+      try Thread.sleep((budgetSec + 45) * 1000L)
+      catch { case _: InterruptedException => return }
+      System.err.println("[bench] watchdog fired — emitting partial results")
+      emit(sfDir)
+      Runtime.getRuntime.halt(0)
+    }, "bench-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(sfDir)))
+
+    putRaw("bench_frontier_urls", benchN.toString)
+    putRaw("budget_sec", budgetSec.toString)
+
+    def phase(name: String)(body: => Unit): Unit =
+      if (phases(name)) {
+        try body
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] phase $name failed: $e")
+            putRaw(s"phase_${name}_error",
+              "\"" + e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160) + "\"")
+        }
+      }
 
     // This microVM shows ±20-30% run-to-run noise (CPU steal + host-side
     // memory faulting). Every scaling comparison therefore interleaves the
     // two configs across separate session visits and takes the per-config
     // best — the ratio of bests is far more stable than any single pair.
-    def interleavedBest(visits: Int)(measure: Int => Double)(
-        a: Int, b: Int): (Double, Double) = {
-      var bestA = 0.0; var bestB = 0.0
-      (1 to visits).foreach { _ =>
-        bestA = math.max(bestA, measure(a))
-        bestB = math.max(bestB, measure(b))
+
+    // ---- phase 1: thread scaling (same input, 8 vs 32 cores) -------------
+    phase("wave") {
+      def throughputAt(cores: Int, reps: Int): Double = {
+        val s = session(cores)
+        try {
+          runWave(s, math.min(benchN, 500000)) // warm-up, untimed
+          val secs = (1 to reps).map(_ => runWave(s, benchN)).min
+          benchN / secs
+        } finally { s.stop(); cleanupLocalDir() }
       }
-      (bestA, bestB)
+      var t8 = 0.0; var t32 = 0.0
+      var visit = 0
+      // interleaved best-of: keep visiting while ≥40% of budget remains
+      while (visit < 2 && (visit == 0 || remaining > budgetSec * 0.4)) {
+        t8 = math.max(t8, throughputAt(8, 2))
+        t32 = math.max(t32, throughputAt(32, 2))
+        visit += 1
+        put("urls_per_sec_local8", t8, "%.0f")
+        put("urls_per_sec_local32", t32, "%.0f")
+        put("thread_scaling_efficiency", t32 / (4.0 * t8))
+        // headline key unless the cluster phase (the more faithful N→4N
+        // evidence) runs and overwrites it
+        if (!phases("cluster")) put("scaling_efficiency", t32 / (4.0 * t8))
+      }
     }
 
-    // ---- phase 2: scaling (same input, 8 vs 32 cores) -------------------
-    def throughputAt(cores: Int): Double = {
-      val s = session(cores)
-      runWave(s, math.min(benchN, 500000)) // warm-up, untimed
-      val secs = (1 to 2).map(_ => runWave(s, benchN)).min
-      s.stop()
-      benchN / secs
-    }
-    val (t8, t32) =
-      if (phases("wave")) interleavedBest(2)(throughputAt)(8, 32)
-      else (1.0, 1.0)
-    val eff = t32 / (4.0 * t8)
-    cooldown()
-
-    // ---- phase 4: N vs 4N separate executor JVMs (local-cluster) --------
+    // ---- opt-in phase: N vs 4N separate executor JVMs (local-cluster) ----
     // The literal north-rule setup: same job, same input, 1 executor × 8
-    // cores vs 4 executors × 8 cores, each executor its own JVM/heap.
-    // Each measurement runs in a FRESH subprocess; the 1-executor baseline
-    // is CPU-pinned to 8 cores (a 4-node cluster's node owns 1/4 of the
-    // hardware — an unpinned 8-thread run would borrow the whole socket's
-    // bandwidth and understate scale-out). Affinity is inherited by the
-    // executor JVMs the subprocess spawns.
-    val clusterN = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_N", "24000000").toLong
-    def clusterAt(execs: Int): Double = {
-      val cp = System.getProperty("java.class.path")
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar"
-      ).flatMap(pkg => Seq("--add-opens", s"$pkg=ALL-UNNAMED"))
-      val pin =
-        if (execs == 1) Seq("taskset", "-c", "0-7") else Seq.empty[String]
-      val cmd = pin ++ Seq("java", "-Xmx8g", "-Xms8g",
-        "-XX:+UseParallelGC", "-Dspark.ui.enabled=false") ++ addOpens ++
-        Seq("-cp", cp, "graft.BenchOne",
-          s"local-cluster[$execs,8,18432]", clusterN.toString)
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("SPARK_HOME", "/opt/spark")
-      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-      pb.environment().put("SPARK_WORKER_DIR", "/tmp/graft-spark-worker")
-      pb.environment().put("SPARK_LOG_DIR", "/tmp/graft-spark-logs")
-      pb.redirectErrorStream(false)
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes())
-      proc.waitFor()
-      out.linesIterator.find(_.startsWith("URLS_PER_SEC"))
-        .map(_.split(" ")(1).toDouble).getOrElse(0.0)
-    }
-    val (e1, e4) =
-      if (phases("cluster")) interleavedBest(2)(clusterAt)(1, 4)
-      else (1.0, 1.0)
-    val eeff = e4 / (4.0 * e1)
-    cooldown()
-
-    // ---- phase 3: engine-level CrawlJob scaling --------------------------
-    val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "4000000").toLong
-    def crawlAt(cores: Int): Double = {
-      val s = session(cores)
-      crawlBench(s, crawlN / 10, crawlN / 80) // warm-up, untimed
-      val best = (1 to 2).map { _ =>
-        val (secs, crawled) = crawlBench(s, crawlN, crawlN / 8)
-        crawled / secs
-      }.max
-      s.stop()
-      best
-    }
-    val (c8, c32) =
-      if (phases("crawl")) (crawlAt(8), crawlAt(32)) else (1.0, 1.0)
-    val ceff = c32 / (4.0 * c8)
-
-
-    // ---- per-query timings (after the scaling phases) --------------------
-    val results =
-      if (!phases("queries")) Seq.empty[(String, Double)]
-      else {
-        val spark = session(cpus)
-        SparkEntry.entry(spark).count() // warm the JVM/codegen paths
-        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          name -> (System.nanoTime() - t0) / 1e9
-        }
-        spark.stop()
-        r
+    // cores vs 4 executors × 8 cores, each executor its own JVM/heap. The
+    // 1-executor baseline is CPU-pinned to 8 cores (a 4-node cluster's node
+    // owns 1/4 of the hardware). Each measurement runs in a FRESH
+    // subprocess with stderr merged+drained and a hard timeout.
+    phase("cluster") {
+      val clusterN = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_N", "8000000").toLong
+      def clusterAt(execs: Int): Double = {
+        val cp = System.getProperty("java.class.path")
+        val addOpens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar"
+        ).flatMap(pkg => Seq("--add-opens", s"$pkg=ALL-UNNAMED"))
+        val pin =
+          if (execs == 1) Seq("taskset", "-c", "0-7") else Seq.empty[String]
+        val cmd = pin ++ Seq("java", "-Xmx6g",
+          "-XX:+UseParallelGC", "-Dspark.ui.enabled=false") ++ addOpens ++
+          Seq("-cp", cp, "graft.BenchOne",
+            s"local-cluster[$execs,8,10240]", clusterN.toString)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_HOME", "/opt/spark")
+        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+        pb.environment().put("SPARK_WORKER_DIR", "/tmp/graft-spark-worker")
+        pb.environment().put("SPARK_LOG_DIR", "/tmp/graft-spark-logs")
+        // CRITICAL (round-1 deadlock): merge stderr into stdout and drain
+        // continuously — Spark writes >64KB of pre-setLogLevel stderr, which
+        // fills an undrained pipe and deadlocks the child.
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val sb = new StringBuilder
+        val gobbler = new Thread(() => {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getInputStream))
+          var line = br.readLine()
+          while (line != null) {
+            if (line.startsWith("URLS_PER_SEC")) sb.synchronized { sb.append(line).append('\n') }
+            line = br.readLine()
+          }
+        }, "benchone-gobbler")
+        gobbler.setDaemon(true)
+        gobbler.start()
+        val limit = math.max(30L, math.min(remaining.toLong - 15, 180L))
+        val done = proc.waitFor(limit, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { proc.destroyForcibly(); proc.waitFor() }
+        gobbler.join(2000)
+        sb.synchronized { sb.toString }.linesIterator
+          .find(_.startsWith("URLS_PER_SEC"))
+          .map(_.split(" ")(1).toDouble).getOrElse(0.0)
       }
+      var e1 = 0.0; var e4 = 0.0
+      var visit = 0
+      while (visit < 2 && (visit == 0 || remaining > budgetSec * 0.45)) {
+        e1 = math.max(e1, clusterAt(1))
+        e4 = math.max(e4, clusterAt(4))
+        visit += 1
+        if (e1 > 0 && e4 > 0) {
+          put("urls_per_sec_1_executor", e1, "%.0f")
+          put("urls_per_sec_4_executors", e4, "%.0f")
+          put("executor_scaling_efficiency", e4 / (4.0 * e1))
+          // the headline north-rule number: same job, same input, real
+          // separate executor JVMs at N vs 4N
+          put("scaling_efficiency", e4 / (4.0 * e1))
+        }
+      }
+    }
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","urls_per_sec_local8":${t8}%.0f,"urls_per_sec_local32":${t32}%.0f,"scaling_efficiency":$eff%.3f,"bench_frontier_urls":$benchN,"crawljob_pages_per_sec_local8":${c8}%.0f,"crawljob_pages_per_sec_local32":${c32}%.0f,"crawljob_scaling_efficiency":$ceff%.3f,"urls_per_sec_1_executor":${e1}%.0f,"urls_per_sec_4_executors":${e4}%.0f,"executor_scaling_efficiency":$eeff%.3f,"scaling_note":"same inputs per BASELINE.md: wave = fetch+dedup pipeline at local[8] vs local[32]; executor numbers = SAME job on a real multi-executor cluster (local-cluster mode, separate executor JVMs) at 1 vs 4 executors x 8 cores; crawljob = full BFS engine incl. parse"}""")
+    // ---- opt-in phase: engine-level CrawlJob scaling ----------------------
+    phase("crawl") {
+      val crawlN = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "2000000").toLong
+      def crawlAt(cores: Int): Double = {
+        val s = session(cores)
+        try {
+          crawlBench(s, crawlN / 10, crawlN / 80) // warm-up, untimed
+          val (secs, crawled) = crawlBench(s, crawlN, crawlN / 8)
+          crawled / secs
+        } finally { s.stop(); cleanupLocalDir() }
+      }
+      val c8 = crawlAt(8)
+      val c32 = crawlAt(32)
+      put("crawljob_pages_per_sec_local8", c8, "%.0f")
+      put("crawljob_pages_per_sec_local32", c32, "%.0f")
+      put("crawljob_scaling_efficiency", c32 / (4.0 * c8))
+    }
+
+    // ---- per-query timings (after the scaling phases) ---------------------
+    phase("queries") {
+      val spark = session(cpus)
+      try {
+        SparkEntry.entry(spark).count() // warm the JVM/codegen paths
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          // each query needs budget headroom; record skips explicitly
+          if (remaining > 25) {
+            val q0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+            queryTimes.synchronized {
+              queryTimes(name) = (System.nanoTime() - q0) / 1e9
+            }
+          } else putRaw("queries_truncated", "true")
+        }
+      } finally { spark.stop(); cleanupLocalDir() }
+    }
+
+    put("bench_elapsed_sec", elapsed)
+    emit(sfDir)
+    watchdog.interrupt()
   }
 }

@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   * 8-thread run borrows the whole socket's cache/bandwidth/turbo and
   * understates scale-out efficiency. CPU affinity is inherited by the
   * local-cluster executor JVMs this process spawns.
+  *
+  * The parent merges and drains this process's stderr (round-1 lesson: an
+  * undrained pipe deadlocks the child once Spark's startup logging fills it).
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -20,14 +23,29 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft-bench-one")
-      .config("spark.executor.memory", "18g")
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "9g"))
       .config("spark.executor.extraClassPath",
         "/root/repo/target/scala-2.13/classes")
-      .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+      .config("spark.executor.extraJavaOptions",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_GC", "-XX:+UseParallelGC"))
+      // keep shuffle lz4 (uncompressed loopback fetch measured SLOWER at
+      // 4 executors: 4-5x more bytes through TCP); bigger in-flight windows
+      // + file buffers cut reducer fetch-wait (profiled ~30% of reduce time)
+      .config("spark.reducer.maxSizeInFlight", "128m")
+      .config("spark.shuffle.file.buffer", "1m")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      // tmpfs shuffle scratch when it has headroom (ext4 scratch costs heavy
+      // kernel time on this microVM — round-1 lesson re-learned in round 2:
+      // a /tmp scratch dir halved 4-executor throughput)
+      .config("spark.local.dir", {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.exists() && shm.getUsableSpace > 24L * (1L << 30))
+          "/dev/shm/graft-spark-one"
+        else "/tmp/graft-spark-one"
+      })
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -35,6 +53,7 @@ object BenchOne {
     Bench.waveThroughput(spark, n) // warm-up, untimed (smaller input inside)
     val best = (1 to 2).map(_ => n / Bench.waveSeconds(spark, n)).max
     println(f"URLS_PER_SEC $best%.0f")
+    System.out.flush()
     spark.stop()
   }
 }
