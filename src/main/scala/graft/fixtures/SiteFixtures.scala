@@ -34,7 +34,8 @@ object SiteFixtures {
       lang: String,
       status: Int,
       contentType: String,
-      location: String)
+      location: String,
+      setCookie: String = null)
 
   private val T0 = Timestamp.valueOf("2023-06-01 00:00:00")
   private def ts(i: Int) = new Timestamp(T0.getTime + i * 3600L * 1000)
@@ -189,9 +190,45 @@ object SiteFixtures {
       "text/html; charset=iso-8859-9", null))
   }
 
+  /** Cookie site (geziyor_test.go:269-288 / client/client.go:250-272):
+    * /login responds with Set-Cookie and links to /private; the /private
+    * request must carry the jar's cookie (visible as meta("cookie")).
+    */
+  def cookiePages: Seq[Page] = {
+    val loginHtml = "<html><body><a href=\"/private\">private</a></body></html>"
+    val privHtml = "<html><body><p>members only</p></body></html>"
+    Seq(
+      Page("http://cookie.example.com/login", ts(600),
+        loginHtml.getBytes(StandardCharsets.UTF_8), loginHtml, "en", 200,
+        "text/html; charset=utf-8", null, setCookie = "session=tok42"),
+      Page("http://cookie.example.com/private", ts(601),
+        privHtml.getBytes(StandardCharsets.UTF_8), privHtml, "en", 200,
+        "text/html; charset=utf-8", null))
+  }
+
+  /** JS-rendered site (client/client.go:171-247 GetRendered): the raw html
+    * is an empty SPA shell with no links; the `text` column carries the
+    * post-JS rendered DOM (link + content). Plain fetch sees the shell;
+    * rendered fetch sees the DOM.
+    */
+  def jsPages: Seq[Page] = {
+    val shell = "<html><body><div id=\"app\"></div></body></html>"
+    val appDom =
+      "<html><body><div id=\"app\"><a href=\"/detail\">detail</a><p>hydrated</p></div></body></html>"
+    val detailDom =
+      "<html><body><div id=\"app\"><p>detail hydrated</p></div></body></html>"
+    Seq(
+      Page("http://js.example.com/app", ts(700),
+        shell.getBytes(StandardCharsets.UTF_8), appDom, "en", 200,
+        "text/html; charset=utf-8", null),
+      Page("http://js.example.com/detail", ts(701),
+        shell.getBytes(StandardCharsets.UTF_8), detailDom, "en", 200,
+        "text/html; charset=utf-8", null))
+  }
+
   def allPages: Seq[Page] =
     quotesPages ++ booksPages ++ megaPages ++ redirectPages ++ flakyPages ++
-      charsetPages
+      charsetPages ++ cookiePages ++ jsPages
 
   /** The corpus as a DataFrame in the BASELINE input_hint shape
     * `pages(url, warc_ts, html, text, lang)` + fetch-semantics meta columns
@@ -200,8 +237,8 @@ object SiteFixtures {
   def pagesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     allPages.map(p => (p.url, p.warcTs, p.html, p.text, p.lang, p.status,
-      p.contentType, Option(p.location)))
+      p.contentType, Option(p.location), Option(p.setCookie)))
       .toDF("url", "warc_ts", "html", "text", "lang", "status",
-        "content_type", "location")
+        "content_type", "location", "set_cookie")
   }
 }

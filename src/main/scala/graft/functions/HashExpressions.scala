@@ -35,23 +35,25 @@ object HashOps {
   }
 
   /** Rolling min-fingerprint (winnowing-lite): min polynomial hash over all
-    * length-`n` character windows, computed in O(len) with the Karp-Rabin
-    * rolling update. Short strings fall back to the whole-string hash.
+    * length-`n` CODEPOINT windows, computed in O(len) with the Karp-Rabin
+    * rolling update. Codepoints (not UTF-16 units) keep this consistent
+    * with polyHash and with the DuckDB oracle for supplementary-plane
+    * characters. Short strings fall back to the whole-string hash.
     */
   def rollingMinHash(s: UTF8String, n: Int): Long = {
-    val str = s.toString
-    if (str.length < n || n <= 0) return polyHash(s)
-    // precompute base^(n-1) mod p for the outgoing character
+    val cps = s.toString.codePoints.toArray
+    if (cps.length < n || n <= 0) return polyHash(s)
+    // precompute base^(n-1) mod p for the outgoing codepoint
     var pow = 1L
     var k = 1
     while (k < n) { pow = (pow * Base) % Mod; k += 1 }
     var h = 0L
     var i = 0
-    while (i < n) { h = (h * Base + str.charAt(i)) % Mod; i += 1 }
+    while (i < n) { h = (h * Base + cps(i)) % Mod; i += 1 }
     var min = h
-    while (i < str.length) {
-      val out = (str.charAt(i - n) * pow) % Mod
-      h = ((h - out + Mod * Base) % Mod * Base + str.charAt(i)) % Mod
+    while (i < cps.length) {
+      val out = (cps(i - n).toLong * pow) % Mod
+      h = ((h - out + Mod * Base) % Mod * Base + cps(i)) % Mod
       if (h < min) min = h
       i += 1
     }

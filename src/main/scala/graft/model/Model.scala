@@ -64,11 +64,23 @@ final case class CrawlSpec(
     // RequestDelay (options.go:84) spaces them. In wave mode the two collapse
     // to "at most k fetches per host per wave".
     hostTokensPerWave: Int = Int.MaxValue,
+    // Politeness spacing (middleware/delay.go:15-30). In wave mode the delay
+    // becomes a deterministic per-request sub-wave ordering key: when
+    // requestDelayMs > 0, each granted request gets delay_ms and the
+    // per-host token ranking orders by it. randomDelay mirrors the
+    // reference's RandomDelay (delay.go:20-24: uniform in [0.5d, 1.5d)),
+    // seeded per (url, wave) so runs are reproducible.
     requestDelayMs: Long = 0L,
+    randomDelay: Boolean = false,
+    // Wave cadence (geziyor.go RequestsPerSecond spacing): with
+    // requestsPerSecond > 0 the wave size is additionally capped at
+    // rps × waveIntervalMs/1000 — the wave-mode collapse of the reference's
+    // time-based limiter.
     waveIntervalMs: Long = 1000L,
+    requestsPerSecond: Int = 0,                // options.go:87 (0 = off)
     // options.go:41 → wave size cap. The reference default (100000 in-flight)
     // only throttles sockets; in wave mode the cap is off unless the caller
-    // wants bounded waves (RequestsPerSecond × waveInterval collapses here).
+    // wants bounded waves.
     concurrentRequests: Int = Int.MaxValue,
     parseHtmlDisabled: Boolean = false,        // options.go:73
     parserId: String = "default",
@@ -76,16 +88,31 @@ final case class CrawlSpec(
     // Semantically identical to the plain anti-join (no false negatives);
     // cuts the dedup shuffle to ~new-URL volume at steady state.
     bloomDedup: Boolean = false,
-    // Sync-order mode (default) assigns a deterministic global discovery
-    // rank per wave — the parity mode that reproduces the reference's
-    // synchronized crawl order exactly (geziyor.go:225-227) at the cost of
-    // one single-partition window per wave. At cluster scale set false:
-    // ranks become partition-local (still unique, still stable for dedup
-    // and politeness ties, but not a global total order).
-    syncOrder: Boolean = true,
+    // Sync-order mode assigns a deterministic GLOBAL discovery rank per wave
+    // — the parity mode that reproduces the reference's synchronized crawl
+    // order exactly (geziyor.go:225-227) at the cost of one
+    // single-partition window per wave. The DEFAULT is the scale mode
+    // (false): ranks become bucket-local (still unique, still deterministic,
+    // still stable for dedup and politeness ties, but not a global total
+    // order) and every per-wave window is partitioned — no serialization
+    // point anywhere in the default plan. Parity tests opt in with true.
+    syncOrder: Boolean = false,
     // Skew handling: hosts holding more than this share of a wave get salted
     // into this many sub-partitions (SURVEY.md §7 hard parts).
-    skewSaltBuckets: Int = 8
+    skewSaltBuckets: Int = 8,
+    // Cookie jar (geziyor.go:98-100, client/client.go:250-272): responses'
+    // Set-Cookie values accumulate in a per-host state table and are applied
+    // to later requests to that host (visible to parsers as meta("cookie")).
+    cookiesDisabled: Boolean = false,          // options.go:33
+    // JS-rendered fetch mode (client/client.go:171-247, GetRendered
+    // geziyor.go:189-197): corpus-mode analog fetches the page's
+    // pre-rendered `text` variant (the post-JS DOM) instead of raw `html`.
+    rendered: Boolean = false,
+    // HTTP cache policy over the cached-state table passed to CrawlJob.run:
+    // "off" | "rfc2616" (cache/cache.go:182-301 RoundTripRFC2616). The
+    // decision clock is injectable for determinism (cache_test.go:24-30).
+    cachePolicy: String = "off",
+    cacheNowEpochSec: Long = 0L
 )
 
 object CrawlSpec {

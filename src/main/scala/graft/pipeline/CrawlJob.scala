@@ -1,10 +1,12 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.Instant
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 import graft.model.CrawlSpec
+import graft.rfc2616.Freshness
 import graft.state.StateStore
 import graft.url.UrlOps
 
@@ -12,29 +14,42 @@ import graft.url.UrlOps
   * deterministic micro-batch loop of DataFrame transforms (SURVEY.md §3.1).
   *
   * One wave = one BFS generation:
-  *   frontier → politeness token grant (per-host ranking window)
+  *   frontier → politeness token grant (per-host ranking window, optional
+  *              randomized per-request delay ordering)
+  *            → global concurrency / requests-per-second cap (two-phase)
   *            → robots gate (broadcast join vs incrementally-fetched rules)
+  *            → cookie application (per-host jar state → meta("cookie"))
+  *            → custom request middlewares (ordered DataFrame→DataFrame)
+  *            → RFC2616 cache decision (serve-cached / revalidate / fetch)
   *            → fetch join vs pages corpus (with transparent redirect
-  *              following, bounded by maxRedirect)
+  *              following, bounded by maxRedirect; rendered mode fetches the
+  *              pre-rendered text variant)
+  *            → validator/304 merge for revalidations
   *            → retryable statuses re-enqueued (retry ≤ retryTimes)
-  *            → decode + parse (records out, links out)
+  *            → custom response middlewares → decode + parse
   *            → discovered links: AllowedDomains filter → intra-wave
   *              first-wins dedup → anti-join vs seen set → next frontier
   *
-  * Middleware-order fidelity (geziyor.go:63-68,121-125): AllowedDomains runs
+  * Middleware-order fidelity (geziyor.go:63-68,121-130): AllowedDomains runs
   * BEFORE dedup (blocked-domain urls never enter the seen set); robots runs
-  * AFTER dedup (blocked urls ARE in the seen set); retries re-enter the
-  * client only (no re-dedup, no politeness token, middleware chain not
-  * re-run — client/client.go:94-121 recursion semantics).
+  * AFTER dedup (blocked urls ARE in the seen set); custom request
+  * middlewares run LAST in the request chain (appended after the built-ins,
+  * geziyor.go:128-130); retries re-enter the client only (no re-dedup, no
+  * politeness token, middleware chain not re-run — client/client.go:94-121
+  * recursion semantics).
   *
   * Scale design: every per-wave step is a narrow DataFrame op —
   *  - the seen-set anti-join and fetch join both shuffle on url, so AQE can
   *    reuse/coalesce partitions; at 10^10 urls the seen set lives in the
   *    Parquet state table, Bloom-prefiltered (graft.state.SeenSet);
-  *  - the politeness window shuffles on host; mega-hosts are bounded because
-  *    the window only ranks up to k winners per host (rank filter pushes
-  *    into the window's sort), and skew salting applies upstream;
-  *  - robots rules are one row per host → broadcast;
+  *  - the politeness window shuffles on host; mega-hosts are bounded by the
+  *    exact two-phase salted ranking (top-k per (host,salt), then top-k per
+  *    host over ≤ k·S survivors);
+  *  - the global concurrency cap is the same two-phase shape: per-bucket
+  *    top-cap, then the exact global cap over ≤ cap·B bounded survivors —
+  *    by DEFAULT (syncOrder=false) no per-wave window ever ranks an
+  *    unbounded input on a single partition;
+  *  - robots rules and the cookie jar are one row per host → broadcast;
   *  - per-wave `localCheckpoint` truncates lineage so plan analysis stays
   *    O(1) in wave count (on a cluster: reliable checkpoint / state table).
   */
@@ -70,24 +85,49 @@ object CrawlJob {
     out.result()
   }
 
+  /** Deterministic per-(url, wave) politeness delay in ms
+    * (middleware/delay.go:20-24: uniform in [0.5d, 1.5d) when randomized).
+    * md5-derived so any engine (and the DuckDB oracle) reproduces it.
+    */
+  private[graft] def delayExpr(d: Long, random: Boolean): Column =
+    if (!random) lit(d)
+    else lit(d / 2) +
+      conv(substring(md5(concat_ws(":", col("url"), col("wave"))), 1, 4),
+        16, 10).cast("long") % d
+
   def run(
       spark: SparkSession,
       spec: CrawlSpec,
       pages: DataFrame,
       parsers: Map[String, Parser] = Parsers.registry,
       stateDir: Option[String] = None,
-      seedsDf: Option[DataFrame] = None): CrawlResult = {
+      seedsDf: Option[DataFrame] = None,
+      requestMiddlewares: Seq[DataFrame => DataFrame] = Nil,
+      responseMiddlewares: Seq[DataFrame => DataFrame] = Nil,
+      cacheDf: Option[DataFrame] = None): CrawlResult = {
     import spark.implicits._
 
     val hostOfU = udf((u: String) => UrlOps.hostOf(u))
     val pathOfU = udf((u: String) => UrlOps.pathOf(u))
 
+    val cacheActive = spec.cachePolicy == "rfc2616" && cacheDf.nonEmpty
+    val cookiesActive =
+      !spec.cookiesDisabled && pages.columns.contains("set_cookie")
+
     // fetch-relevant corpus projection (Catalyst prunes the parquet scan to
-    // these columns when `pages` comes from files)
+    // these columns when `pages` comes from files). Optional-feature columns
+    // are projected only when the feature is on, keeping the scan narrow.
+    def optCol(name: String, dt: String, want: Boolean): Column =
+      if (want && pages.columns.contains(name)) col(name).cast(dt)
+      else lit(null).cast(dt)
     val corpus = pages.select(
       col("url").as("p_url"), col("status").as("p_status"),
       col("content_type").as("p_ct"), col("location").as("p_loc"),
-      col("html").as("p_html"))
+      col("html").as("p_html"),
+      optCol("text", "string", spec.rendered).as("p_text"),
+      optCol("set_cookie", "string", cookiesActive).as("p_setck"),
+      optCol("etag", "string", cacheActive).as("p_etag"),
+      optCol("last_modified", "string", cacheActive).as("p_lastmod"))
 
     val emptyAudit = Seq.empty[(Int, String, String, Int, String, String, String)]
       .toDF("wave", "kind", "method", "status", "host", "url", "detail")
@@ -95,6 +135,7 @@ object CrawlJob {
       .toDF("wave", "rank", "seq", "json")
     val emptyOrder = Seq.empty[(Int, Long, String)].toDF("wave", "rank", "url")
     val emptyRules = Seq.empty[(String, Seq[String])].toDF("r_host", "prefixes")
+    val emptyCookies = Seq.empty[(String, String)].toDF("c_host", "c_cookie")
     val emptyFrontier = Seq
       .empty[(String, String, String, Int, String, Map[String, String], Int, Int, Int, Long, String, Boolean)]
       .toDF("url", "host", "path", "depth", "method", "meta", "retry",
@@ -108,6 +149,8 @@ object CrawlJob {
     var audit = emptyAudit
     var order = emptyOrder
     var robotRules = emptyRules // (r_host, prefixes) for hosts seen so far
+    var cookieJar = emptyCookies // (c_host, c_cookie) accumulated Set-Cookies
+    var cookieJarNonEmpty = false
 
     val resumed = stateDir.flatMap(StateStore.latestCommitted)
     resumed match {
@@ -119,6 +162,10 @@ object CrawlJob {
         audit = StateStore.read(spark, dir, w, "audit")
         order = StateStore.read(spark, dir, w, "crawl_order")
         robotRules = StateStore.read(spark, dir, w, "robot_rules")
+        if (StateStore.hasTable(dir, w, "cookies")) {
+          cookieJar = StateStore.read(spark, dir, w, "cookies")
+          cookieJarNonEmpty = !cookieJar.isEmpty
+        }
         startWave = w + 1
       case None =>
         // Seeds pass AllowedDomains + dedup exactly like discovered urls
@@ -161,6 +208,21 @@ object CrawlJob {
         seen = frontier.select(col("url"))
     }
 
+    // RFC2616 serve decision as a classifier over the cached entry's headers
+    // (Freshness.decide — the pure engine; cache/cache.go:182-265). The
+    // clock is injected via spec.cacheNowEpochSec (fake-clock determinism).
+    val cacheNow = Instant.ofEpochSecond(spec.cacheNowEpochSec)
+    val reqHeaders = CrawlSpec.DefaultHeaders
+    val decideU = udf((method: String, cached: Map[String, String]) =>
+      Freshness.decide(method, reqHeaders, Option(cached), cacheNow) match {
+        case Freshness.ServeCached => "serve_cached"
+        case _: Freshness.Revalidate => "revalidate"
+        case Freshness.FetchAndStore => "fetch"
+        case Freshness.FetchNoStore => "fetch_no_store"
+        case Freshness.GatewayTimeout504 => "gateway_504"
+      })
+    val cacheCols = Seq("k_headers", "k_body", "k_ct", "cache_action")
+
     // per-wave counters + per-partition lineage of the granted set
     // (north-star: frontier mutations emit lineage + metrics to the audit
     // store). Tiny driver-side buffers — ≤ #partitions rows per wave.
@@ -192,17 +254,26 @@ object CrawlJob {
         // ---- politeness: grant ≤ k tokens per host this wave ------------
         // (retries bypass the token budget — the reference retries inside
         // the client without re-running the delay middleware)
+        val cols = emptyFrontier.columns.map(col).toIndexedSeq
+        val polOrder: Seq[Column] =
+          if (spec.requestDelayMs > 0)
+            Seq(col("priority").desc, col("delay_ms").asc, col("rank").asc)
+          else Seq(col("priority").desc, col("rank").asc)
         val (granted, deferred) =
           if (spec.hostTokensPerWave == Int.MaxValue)
             (frontier, emptyFrontier)
           else {
-            val nonRetry = frontier.filter(!col("is_retry"))
+            val nonRetry0 = frontier.filter(!col("is_retry"))
+            val nonRetry =
+              if (spec.requestDelayMs > 0)
+                nonRetry0.withColumn("delay_ms",
+                  delayExpr(spec.requestDelayMs, spec.randomDelay))
+              else nonRetry0
             // Two-phase salted ranking: phase 1 ranks within (host, salt) and
             // keeps ≤k per bucket — the global per-host top-k (by the same
             // total order) is always a subset of the per-salt survivors, so
             // phase 2 over ≤ k·S rows/host is EXACT while the mega-host's
             // window work spreads across S tasks (SURVEY.md §7 skew note).
-            val cols = emptyFrontier.columns.map(col).toIndexedSeq
             val (phase1, deferredA) =
               if (spec.skewSaltBuckets > 1) {
                 val salted = nonRetry
@@ -210,14 +281,12 @@ object CrawlJob {
                     pmod(hash(col("url")), lit(spec.skewSaltBuckets)))
                   .withColumn("t1", row_number().over(
                     Window.partitionBy(col("host"), col("salt"))
-                      .orderBy(col("priority").desc, col("rank").asc)))
-                (salted.filter(col("t1") <= spec.hostTokensPerWave)
-                   .select(cols: _*),
+                      .orderBy(polOrder: _*)))
+                (salted.filter(col("t1") <= spec.hostTokensPerWave),
                  salted.filter(col("t1") > spec.hostTokensPerWave)
                    .select(cols: _*))
               } else (nonRetry, emptyFrontier)
-            val tw = Window.partitionBy(col("host"))
-              .orderBy(col("priority").desc, col("rank").asc)
+            val tw = Window.partitionBy(col("host")).orderBy(polOrder: _*)
             val ranked2 = phase1.withColumn("tok", row_number().over(tw))
             val grantedNR = ranked2.filter(col("tok") <= spec.hostTokensPerWave)
               .select(cols: _*)
@@ -230,29 +299,43 @@ object CrawlJob {
           }
 
         // ---- global concurrency cap (geziyor.go:109-111 semaphore → wave
-        // size cap; RequestsPerSecond × waveInterval collapses to the same
-        // bound in wave mode). Like politeness, excess is deferred, never
-        // dropped.
+        // size cap) + RequestsPerSecond × waveInterval (options.go:87) —
+        // both collapse to a wave-size bound; excess is deferred, never
+        // dropped. Two-phase like politeness: phase 1 keeps the per-bucket
+        // top-cap (global top-cap rows always survive their bucket's cap by
+        // the same order), phase 2 ranks only ≤ cap·B bounded survivors —
+        // exact, and no unbounded single-partition window.
         val auditInc = scala.collection.mutable.ArrayBuffer
           .empty[DataFrame]
 
-        val waveCap = spec.concurrentRequests.toLong
+        val rpsCap =
+          if (spec.requestsPerSecond > 0)
+            math.max(1L, spec.requestsPerSecond.toLong * spec.waveIntervalMs / 1000L)
+          else Long.MaxValue
+        val waveCap = math.min(spec.concurrentRequests.toLong, rpsCap)
         val (granted2, deferred2) =
           if (waveCap >= Int.MaxValue)
             (granted, deferred)
           else {
-            val gw = Window.orderBy(col("rank").asc)
-            val ranked = granted.withColumn("gidx", row_number().over(gw))
-            val g2 = ranked.filter(col("gidx") <= waveCap).drop("gidx")
-            val d2 = ranked.filter(col("gidx") > waveCap).drop("gidx")
-            (g2, deferred.union(d2))
+            val CapBuckets = 32
+            val b1 = granted
+              .withColumn("cbkt", pmod(hash(col("url")), lit(CapBuckets)))
+              .withColumn("c1", row_number().over(
+                Window.partitionBy(col("cbkt")).orderBy(col("rank").asc)))
+            val drop1 = b1.filter(col("c1") > waveCap).select(cols: _*)
+            val ranked = b1.filter(col("c1") <= waveCap)
+              .withColumn("gidx",
+                row_number().over(Window.orderBy(col("rank").asc)))
+            val g2 = ranked.filter(col("gidx") <= waveCap).select(cols: _*)
+            val d2 = ranked.filter(col("gidx") > waveCap).select(cols: _*)
+            (g2, deferred.union(drop1).union(d2))
           }
 
         // ---- robots: incrementally fetch rules for NEW hosts ------------
         if (!spec.robotsTxtDisabled) {
           val newHosts = granted2.select(col("host")).distinct()
             .join(robotRules, col("host") === col("r_host"), "left_anti")
-          val fetched = newHosts
+          val fetchedRules = newHosts
             .join(corpus,
               concat(lit("http://"), col("host"), lit("/robots.txt")) === col("p_url"),
               "left")
@@ -261,7 +344,7 @@ object CrawlJob {
           val parseRobotsU = udf((b: Array[Byte]) =>
             if (b == null) Seq.empty[String]
             else parseRobots(new String(b, java.nio.charset.StandardCharsets.UTF_8)))
-          val newRules = fetched
+          val newRules = fetchedRules
             .select(col("host").as("r_host"), parseRobotsU(col("body")).as("prefixes"))
           robotRules = robotRules.union(newRules).localCheckpoint(true)
         }
@@ -287,8 +370,81 @@ object CrawlJob {
         auditInc += (robotsBlocked.select(col("wave"), lit("robots_forbidden"),
           col("method"), lit(0), col("host"), col("url"), lit("")))
 
+        // ---- cookie jar: apply accumulated per-host cookies --------------
+        // (client/client.go:250-272 — the http.Client jar; corpus-mode: the
+        // Cookie header the request would carry is exposed to parsers as
+        // meta("cookie"), and Set-Cookie responses feed the jar below)
+        val withCookies =
+          if (!cookiesActive || !cookieJarNonEmpty) robotsOk
+          else {
+            val hdr = cookieJar.groupBy(col("c_host"))
+              .agg(concat_ws("; ", sort_array(collect_set(col("c_cookie"))))
+                .as("cookie_hdr"))
+            robotsOk.join(broadcast(hdr), col("host") === col("c_host"), "left")
+              .withColumn("meta",
+                when(col("cookie_hdr").isNotNull,
+                  map_concat(
+                    map_filter(col("meta"), (k, _) => k =!= "cookie"),
+                    map(lit("cookie"), col("cookie_hdr"))))
+                  .otherwise(col("meta")))
+              .drop("c_host", "cookie_hdr")
+          }
+
+        // ---- custom request middlewares (geziyor.go:128-130: appended
+        // after the built-in chain). A middleware may mutate columns (e.g.
+        // meta) and/or set `cancelled` = true (Request.Cancelled analog —
+        // dropped from the wave, audited).
+        val afterReqMw =
+          if (requestMiddlewares.isEmpty) withCookies
+          else {
+            val base = withCookies.withColumn("cancelled", lit(false))
+            val out = requestMiddlewares.foldLeft(base)((df, mw) => mw(df))
+            auditInc += (out.filter(col("cancelled"))
+              .select(col("wave"), lit("cancelled"), col("method"), lit(0),
+                col("host"), col("url"), lit("")))
+            out.filter(!col("cancelled")).drop("cancelled")
+          }
+
+        // ---- RFC2616 cache decision (cache/cache.go:182-265) -------------
+        // serve_cached rows never reach the fetch join (no re-fetch);
+        // revalidate rows carry the cached entry through the fetch for the
+        // validator/304 merge; gateway_504 (only-if-cached miss) is audited
+        // and dropped.
+        val (toFetch, cacheServed) =
+          if (!cacheActive)
+            (afterReqMw
+              .withColumn("k_headers",
+                lit(null).cast("map<string,string>"))
+              .withColumn("k_body", lit(null).cast("binary"))
+              .withColumn("k_ct", lit(null).cast("string"))
+              .withColumn("cache_action", lit("fetch")),
+             None)
+          else {
+            val cache = cacheDf.get.select(
+              col("url").as("k_url"),
+              col("headers").as("k_headers"),
+              col("body").as("k_body"),
+              col("content_type").as("k_ct"))
+            val tagged = afterReqMw
+              .join(cache, col("url") === col("k_url"), "left")
+              .drop("k_url")
+              .withColumn("cache_action",
+                when(col("k_headers").isNull,
+                  when(lit(reqHeaders.exists(h =>
+                      h._1.equalsIgnoreCase("Cache-Control") &&
+                        h._2.contains("only-if-cached"))),
+                    lit("gateway_504")).otherwise(lit("fetch")))
+                  .otherwise(decideU(col("method"), col("k_headers"))))
+            auditInc += (tagged.filter(col("cache_action") === "gateway_504")
+              .select(col("wave"), lit("gateway_504"), col("method"),
+                lit(504), col("host"), col("url"), lit("")))
+            (tagged.filter(col("cache_action") =!= "serve_cached" &&
+                col("cache_action") =!= "gateway_504"),
+             Some(tagged.filter(col("cache_action") === "serve_cached")))
+          }
+
         // ---- fetch join with transparent redirect following -------------
-        var pending = robotsOk
+        var pending = toFetch
           .withColumn("cur_url", col("url")).withColumn("hops", lit(0))
           .localCheckpoint(true)
 
@@ -305,6 +461,10 @@ object CrawlJob {
           .withColumn("p_status", lit(null).cast("int"))
           .withColumn("p_ct", lit(null).cast("string"))
           .withColumn("p_html", lit(null).cast("binary"))
+          .withColumn("p_text", lit(null).cast("string"))
+          .withColumn("p_setck", lit(null).cast("string"))
+          .withColumn("p_etag", lit(null).cast("string"))
+          .withColumn("p_lastmod", lit(null).cast("string"))
           .withColumn("redirect_exceeded", lit(false))
           .drop("p_loc")
         var hop = 0
@@ -316,17 +476,62 @@ object CrawlJob {
           val finals = j.filter(!isRedir || lit(hop == spec.maxRedirect))
             .withColumn("redirect_exceeded", isRedir)
             .drop("p_loc")
-          fetched = fetched.union(finals)
+          fetched = fetched.unionByName(finals)
           pending =
             if (hop == spec.maxRedirect) pending.limit(0)
             else j.filter(isRedir)
               .withColumn("cur_url", col("p_loc"))
               .withColumn("hops", col("hops") + 1)
-              .drop("p_status", "p_ct", "p_html", "p_loc")
+              .drop("p_status", "p_ct", "p_html", "p_text", "p_setck",
+                "p_etag", "p_lastmod", "p_loc")
               .localCheckpoint(true)
           hop += 1
         }
         tMark = dbg("order+metrics+lineage", tMark)
+
+        // ---- validator / 304 merge for revalidations ----------------------
+        // (cache/cache.go:210-239: inject If-None-Match/If-Modified-Since;
+        // corpus-mode "304" = the live page still carries the cached entry's
+        // validators → keep the cached body, merge headers)
+        if (cacheActive) {
+          val hOf = (m: Column, k: String) => element_at(m, k)
+          val notModified = col("cache_action") === "revalidate" &&
+            col("p_status").isNotNull && (
+              (col("p_etag").isNotNull &&
+                col("p_etag") === hOf(col("k_headers"), "ETag")) ||
+              (col("p_lastmod").isNotNull &&
+                col("p_lastmod") === hOf(col("k_headers"), "Last-Modified")))
+          fetched = fetched
+            .withColumn("revalidated_304", notModified)
+            .withColumn("p_html",
+              when(notModified, col("k_body")).otherwise(col("p_html")))
+            .withColumn("p_ct",
+              when(notModified, col("k_ct")).otherwise(col("p_ct")))
+        } else {
+          fetched = fetched.withColumn("revalidated_304", lit(false))
+        }
+        // cache-served rows join the delivery stream without fetching
+        cacheServed.foreach { served =>
+          val asFetched = served
+            .withColumn("cur_url", col("url"))
+            .withColumn("hops", lit(0))
+            .withColumn("p_status", lit(200))
+            .withColumn("p_ct", col("k_ct"))
+            .withColumn("p_html", col("k_body"))
+            .withColumn("p_text", lit(null).cast("string"))
+            .withColumn("p_setck", lit(null).cast("string"))
+            .withColumn("p_etag", lit(null).cast("string"))
+            .withColumn("p_lastmod", lit(null).cast("string"))
+            .withColumn("redirect_exceeded", lit(false))
+            .withColumn("revalidated_304", lit(false))
+          fetched = fetched.unionByName(asFetched)
+          auditInc += (served.select(col("wave"), lit("cache_hit"),
+            col("method"), lit(200), col("host"), col("url"), lit("")))
+        }
+        auditInc += (fetched.filter(col("revalidated_304"))
+          .select(col("wave"), lit("revalidate_304"), col("method"),
+            col("p_status"), col("host"), col("url"), lit("")))
+
         fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
 
         // fetch misses = transport-error analog → ErrorFunc audit branch
@@ -338,6 +543,17 @@ object CrawlJob {
           .select(col("wave"), lit("redirect_exceeded"), col("method"),
             col("p_status"), col("host"), col("url"),
             lit(s"stopped after ${spec.maxRedirect} redirects")))
+
+        // ---- cookie jar: accumulate Set-Cookie responses ------------------
+        if (cookiesActive) {
+          val newCk = fetched.filter(col("p_setck").isNotNull)
+            .select(col("host").as("c_host"), col("p_setck").as("c_cookie"))
+            .distinct()
+          if (!newCk.isEmpty) {
+            cookieJar = cookieJar.union(newCk).distinct().localCheckpoint(true)
+            cookieJarNonEmpty = true
+          }
+        }
 
         // ---- retry re-enqueue -------------------------------------------
         val retryCodes = spec.retryHttpCodes.toSeq.map(Integer.valueOf)
@@ -357,18 +573,35 @@ object CrawlJob {
             lit(s"gave up after ${spec.retryTimes} retries")))
 
         // ---- deliver responses → decode → parse --------------------------
-        val responses = fetched.filter(col("p_status").isNotNull &&
+        val responses0 = fetched.filter(col("p_status").isNotNull &&
           !col("p_status").isin(retryCodes: _*) && !col("redirect_exceeded"))
+        // custom response middlewares (geziyor.go:121-126 appended chain)
+        val responses =
+          responseMiddlewares.foldLeft(responses0)((df, mw) => mw(df))
         auditInc += (responses.select(col("wave"), lit("crawled"),
           col("method"), col("p_status"), col("host"), col("url"), lit("")))
 
         val reg = parsers
         val maxBody = spec.maxBodySize
         val parseHtmlDisabled = spec.parseHtmlDisabled
+        // Rendered fetch mode (client/client.go:171-247): deliver the
+        // pre-rendered DOM (`text` variant, always utf-8 HTML) instead of
+        // the raw body — the corpus-mode analog of GetRendered.
+        val bodyCol =
+          if (spec.rendered)
+            when(col("p_text").isNotNull, encode(col("p_text"), "UTF-8"))
+              .otherwise(col("p_html"))
+          else col("p_html")
+        val ctCol =
+          if (spec.rendered)
+            when(col("p_text").isNotNull, lit("text/html; charset=utf-8"))
+              .otherwise(col("p_ct"))
+          else col("p_ct")
         val parsed = responses
           .select(col("url"), col("cur_url"), col("host"), col("depth"),
             col("method"), col("meta"), col("wave"), col("rank"),
-            col("parser_id"), col("p_status"), col("p_ct"), col("p_html"))
+            col("parser_id"), col("p_status"), ctCol.as("p_ct"),
+            bodyCol.as("p_html"))
           .as[(String, String, String, Int, String, Map[String, String], Int,
             Long, String, Int, String, Array[Byte])]
           .mapPartitions { it =>
@@ -441,8 +674,9 @@ object CrawlJob {
         // offsets: deferred (oldest pending) < retries < new discoveries —
         // so the (wave, rank) record key is always a total order.
         // discovery rank: sync-order mode = one global window (exact
-        // reference order, parity/test mode); scale mode = bucketed windows
-        // (unique + deterministic, P-way parallel, not a global total order)
+        // reference order, parity/test mode); scale mode (DEFAULT) =
+        // bucketed windows (unique + deterministic, P-way parallel, not a
+        // global total order)
         val RankBuckets = 1024
         val ranked0 =
           if (spec.syncOrder) {
@@ -501,7 +735,7 @@ object CrawlJob {
           StateStore.commitWave(dir, wave, Map(
             "frontier" -> frontier, "seen" -> seen, "records" -> records,
             "audit" -> audit, "crawl_order" -> order,
-            "robot_rules" -> robotRules))
+            "robot_rules" -> robotRules, "cookies" -> cookieJar))
         }
         wave += 1
       }

@@ -85,9 +85,29 @@ object BodyParser extends Parser {
     ParseOutput(Seq(rec(JObj(Seq("url" -> JStr(url), "body" -> JStr(html))))), Nil)
 }
 
+/** Cookie-echo parser (test face of the cookie jar, geziyor_test.go:269-288:
+  * the test server asserts the cookie arrived on the second request — here
+  * the record carries the request's Cookie header from meta).
+  */
+object CookieEchoParser extends Parser {
+  val id = "cookie_echo"
+  def parse(url: String, html: String, isHtml: Boolean,
+      meta: Map[String, String]): ParseOutput = {
+    val records = Seq(rec(JObj(Seq(
+      "cookie" -> JStr(meta.getOrElse("cookie", "")),
+      "url" -> JStr(url)))))
+    val links =
+      if (!isHtml) Nil
+      else Css.doc(html).find("a").nodes.flatMap(_.attr("href"))
+        .map(href => Discovered(UrlOps.resolveLink(url, href), id))
+    ParseOutput(records, links)
+  }
+}
+
 object Parsers {
   val registry: Map[String, Parser] =
-    Seq(QuotesParser, AllLinksParser, HrefExportParser, BodyParser)
+    Seq(QuotesParser, AllLinksParser, HrefExportParser, BodyParser,
+      CookieEchoParser)
       .map(p => p.id -> p).toMap
 
   /** Panic recovery (geziyor.go:305-310): a throwing user parser never fails

@@ -73,10 +73,14 @@ object Freshness {
     }
     var ageSecs = java.time.Duration.between(date, now).getSeconds
 
-    var lifetime = respCc.get("max-age").flatMap(seconds).getOrElse {
-      h(respHeaders, "Expires").flatMap(parseHttpDate)
-        .map(e => java.time.Duration.between(date, e).getSeconds)
-        .getOrElse(0L)
+    // max-age PRESENT but unparseable → lifetime 0 (cache.go:365-376 sets
+    // zero and moves on — no Expires fallback in that branch)
+    var lifetime = respCc.get("max-age") match {
+      case Some(v) => seconds(v).getOrElse(0L)
+      case None =>
+        h(respHeaders, "Expires").flatMap(parseHttpDate)
+          .map(e => java.time.Duration.between(date, e).getSeconds)
+          .getOrElse(0L)
     }
     reqCc.get("max-age").flatMap(seconds).foreach(lifetime = _)
     reqCc.get("min-fresh").flatMap(seconds).foreach(mf => ageSecs += mf)
@@ -99,7 +103,9 @@ object Freshness {
       case (Some(""), _) | (_, Some("")) => true
       case (None, None) => false
       case _ =>
-        val lifetime = respV.orElse(reqV).flatMap(seconds)
+        // the reference applies the REQUEST directive last (cache.go:
+        // 421-461): with both present, the request value wins
+        val lifetime = reqV.orElse(respV).flatMap(seconds)
         lifetime match {
           case None => false
           case Some(l) =>
@@ -116,17 +122,17 @@ object Freshness {
       !parseCacheControl(reqHeaders).contains("no-store")
 
   /** Vary matching (cache/cache.go:112-120): the cached response stores each
-    * varied request header as `X-Varied-<Name>`; a new request may use the
-    * cached value only if every Vary'd header matches. `Vary: *` never
-    * matches.
+    * varied request header as `X-Varied-<Name>`; the new request may use the
+    * cached entry only if every Vary'd header VALUE equals the stored value
+    * — a direct comparison exactly like the reference: an empty stored value
+    * matches only an absent/empty request header, and a literal `Vary: *`
+    * compares the (absent) `X-Varied-*` against the (absent) `*` request
+    * header, i.e. matches.
     */
   def varyMatches(cachedRespHeaders: Headers, reqHeaders: Headers): Boolean =
     varyHeaders(cachedRespHeaders).forall { key =>
-      if (key == "*") false
-      else {
-        val cached = h(cachedRespHeaders, s"X-Varied-$key").getOrElse("")
-        cached.isEmpty || h(reqHeaders, key).getOrElse("") == cached
-      }
+      h(cachedRespHeaders, s"X-Varied-$key").getOrElse("") ==
+        h(reqHeaders, key).getOrElse("")
     }
 
   def varyHeaders(respHeaders: Headers): Seq[String] =

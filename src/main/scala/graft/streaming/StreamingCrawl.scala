@@ -65,13 +65,20 @@ object StreamingCrawl {
     urlStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val seenExists = new java.io.File(seenTablePath).exists()
         val seen =
-          if (new java.io.File(seenTablePath).exists())
-            spark.read.parquet(seenTablePath)
+          if (seenExists) spark.read.parquet(seenTablePath)
           else batch.sparkSession.emptyDataFrame.withColumn("url", lit(""))
             .limit(0)
-        val fresh = batch.select(col("url")).distinct()
-          .join(seen, Seq("url"), "left_anti")
+        val batchUrls = batch.select(col("url")).distinct()
+        // same scale story as the batch path (graft.state.SeenSet): Bloom
+        // prefilter skips the anti-join shuffle for the definitely-new
+        // majority; the exact anti-join runs only on maybe-seen rows.
+        val fresh =
+          if (seenExists)
+            graft.state.SeenSet.filterNew(batchUrls,
+              graft.state.SeenSet.build(seen, seen.count()))
+          else batchUrls
         val fetched = fresh.join(
           pages.select(col("url"), col("status"), col("text")),
           Seq("url"), "left")

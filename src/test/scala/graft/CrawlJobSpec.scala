@@ -30,7 +30,7 @@ class CrawlJobSpec extends AnyFunSuite {
 
   test("flagship: quotes crawl matches the sequential reference simulator exactly") {
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
-      parserId = "quotes", maxWaves = 20)
+      parserId = "quotes", syncOrder = true, maxWaves = 20)
     val sim = ReferenceSimulator.crawl(spec, pagesMap)
     val res = CrawlJob.run(spark, spec, pagesDf)
 
@@ -61,7 +61,7 @@ class CrawlJobSpec extends AnyFunSuite {
   test("books whole-site BFS with AllowedDomains matches simulator; cross-host rejected") {
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.BooksBase),
       allowedDomains = Seq("books.toscrape.com"),
-      parserId = "all_links", maxWaves = 20)
+      parserId = "all_links", syncOrder = true, maxWaves = 20)
     val sim = ReferenceSimulator.crawl(spec, pagesMap)
     val res = CrawlJob.run(spark, spec, pagesDf)
     assert(recordSeq(res) == sim.records)
@@ -162,7 +162,8 @@ class CrawlJobSpec extends AnyFunSuite {
 
   test("global concurrency cap bounds wave size, defers by rank, loses nothing") {
     val spec = CrawlSpec(startUrls = Seq("http://mega.example.com/"),
-      parserId = "all_links", concurrentRequests = 7, maxWaves = 30)
+      parserId = "all_links", concurrentRequests = 7, syncOrder = true,
+      maxWaves = 30)
     val sim = ReferenceSimulator.crawl(spec, pagesMap)
     val res = CrawlJob.run(spark, spec, pagesDf)
     val perWave = res.crawlOrder.groupBy("wave").count()
@@ -179,7 +180,7 @@ class CrawlJobSpec extends AnyFunSuite {
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.BooksBase),
       allowedDomains = Seq("books.toscrape.com"),
       urlRevisitEnabled = true, parserId = "all_links", maxDepth = 1,
-      maxWaves = 3)
+      syncOrder = true, maxWaves = 3)
     val res = CrawlJob.run(spark, spec, pagesDf)
     val sim = ReferenceSimulator.crawl(spec, pagesMap)
     assert(recordSeq(res) == sim.records)
@@ -190,10 +191,10 @@ class CrawlJobSpec extends AnyFunSuite {
     // but the index url itself can be re-discovered from category pages later
   }
 
-  test("scale-mode ranking (syncOrder=false) preserves results modulo order") {
+  test("scale-mode ranking (the default) preserves results modulo order") {
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.BooksBase),
       allowedDomains = Seq("books.toscrape.com"),
-      parserId = "all_links", maxWaves = 20)
+      parserId = "all_links", syncOrder = true, maxWaves = 20)
     val sync = CrawlJob.run(spark, spec, pagesDf)
     val scale = CrawlJob.run(spark, spec.copy(syncOrder = false), pagesDf)
     assert(recordSeq(scale).sorted == recordSeq(sync).sorted)

@@ -1,0 +1,276 @@
+package graft
+
+import java.time.Instant
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.fixtures.SiteFixtures
+import graft.model.CrawlSpec
+import graft.pipeline.CrawlJob
+import graft.rfc2616.Freshness
+
+/** Round-2 engine features: cookie jar, rendered fetch, custom middlewares,
+  * RFC2616 cache wiring, randomized politeness delay, requests-per-second
+  * cap, and the no-unpartitioned-window plan property of the default
+  * (scale-mode) configuration.
+  */
+class EngineFeaturesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private lazy val pagesDf = SiteFixtures.pagesDf(spark).cache()
+
+  private def recordSeq(r: CrawlJob.CrawlResult): Seq[String] =
+    r.records.orderBy(col("wave"), col("rank"), col("seq"))
+      .select("json").collect().map(_.getString(0)).toSeq
+
+  private def auditKinds(r: CrawlJob.CrawlResult): Map[String, Long] =
+    r.audit.groupBy("kind").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+
+  // ---- cookie jar ---------------------------------------------------------
+
+  test("cookie jar: Set-Cookie from wave N is carried on wave N+1 requests") {
+    val spec = CrawlSpec(startUrls = Seq("http://cookie.example.com/login"),
+      parserId = "cookie_echo", maxWaves = 5)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val recs = recordSeq(res)
+    assert(recs.size == 2)
+    assert(recs.head ==
+      """{"cookie":"","url":"http://cookie.example.com/login"}""")
+    assert(recs(1) ==
+      """{"cookie":"session=tok42","url":"http://cookie.example.com/private"}""")
+  }
+
+  test("cookiesDisabled: no cookie ever applied (geziyor_test.go:269-288)") {
+    val spec = CrawlSpec(startUrls = Seq("http://cookie.example.com/login"),
+      parserId = "cookie_echo", cookiesDisabled = true, maxWaves = 5)
+    val recs = recordSeq(CrawlJob.run(spark, spec, pagesDf))
+    assert(recs.size == 2)
+    assert(recs.forall(_.contains("\"cookie\":\"\"")))
+  }
+
+  test("cookie jar survives resume from checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val spec = CrawlSpec(startUrls = Seq("http://cookie.example.com/login"),
+      parserId = "cookie_echo", maxWaves = 5)
+    CrawlJob.run(spark, spec.copy(maxWaves = 1), pagesDf, stateDir = Some(dir))
+    val resumed = CrawlJob.run(spark, spec, pagesDf, stateDir = Some(dir))
+    val recs = recordSeq(resumed)
+    assert(recs.exists(_.contains("\"cookie\":\"session=tok42\"")))
+  }
+
+  // ---- rendered fetch mode ------------------------------------------------
+
+  test("rendered fetch crawls the post-JS DOM (links invisible to plain fetch)") {
+    val plain = CrawlSpec(startUrls = Seq("http://js.example.com/app"),
+      parserId = "all_links", maxWaves = 5)
+    val r1 = CrawlJob.run(spark, plain, pagesDf)
+    assert(auditKinds(r1)("crawled") == 1) // SPA shell has no links
+
+    val rendered = plain.copy(rendered = true)
+    val r2 = CrawlJob.run(spark, rendered, pagesDf)
+    assert(auditKinds(r2)("crawled") == 2) // rendered DOM link followed
+  }
+
+  test("rendered fetch delivers the rendered body to the parser") {
+    val spec = CrawlSpec(startUrls = Seq("http://js.example.com/app"),
+      parserId = "body", rendered = true, maxWaves = 2)
+    val recs = recordSeq(CrawlJob.run(spark, spec, pagesDf))
+    assert(recs.size == 1)
+    assert(recs.head.contains("hydrated"))
+    val plain = recordSeq(CrawlJob.run(spark, spec.copy(rendered = false), pagesDf))
+    assert(!plain.head.contains("hydrated"))
+  }
+
+  // ---- custom middlewares -------------------------------------------------
+
+  test("request middleware can cancel requests (Request.Cancelled analog)") {
+    val cancelPage3: DataFrame => DataFrame = df =>
+      df.withColumn("cancelled",
+        col("cancelled") || col("url").contains("/page/3/"))
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", syncOrder = true, maxWaves = 20)
+    val res = CrawlJob.run(spark, spec, pagesDf,
+      requestMiddlewares = Seq(cancelPage3))
+    val a = auditKinds(res)
+    assert(a("cancelled") == 1)
+    assert(a("crawled") == 2)              // pages 1, 2; chain broken at 3
+    assert(recordSeq(res).size == 20)
+  }
+
+  test("request middleware can mutate request meta (options.go:90-93)") {
+    val tagMeta: DataFrame => DataFrame = df =>
+      df.withColumn("meta",
+        map_concat(col("meta"), map(lit("cookie"), lit("mw=injected"))))
+    val spec = CrawlSpec(startUrls = Seq("http://cookie.example.com/private"),
+      parserId = "cookie_echo", maxWaves = 2)
+    val recs = recordSeq(CrawlJob.run(spark, spec, pagesDf,
+      requestMiddlewares = Seq(tagMeta)))
+    assert(recs.head.contains("\"cookie\":\"mw=injected\""))
+  }
+
+  test("response middleware runs before parse (can rewrite the response)") {
+    val demoteToPlain: DataFrame => DataFrame = df =>
+      df.withColumn("p_ct", lit("text/plain; charset=utf-8"))
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 5)
+    val res = CrawlJob.run(spark, spec, pagesDf,
+      responseMiddlewares = Seq(demoteToPlain))
+    // quotes parser sees non-HTML → no records, no links, crawl stops
+    assert(recordSeq(res).isEmpty)
+    assert(auditKinds(res)("crawled") == 1)
+  }
+
+  // ---- RFC2616 cache wiring ----------------------------------------------
+
+  test("rfc2616 cache: fresh → served from cache; stale → revalidate/refetch") {
+    import spark.implicits._
+    val now = Instant.parse("2024-01-01T00:00:00Z")
+    def hdrs(ageSec: Long, etag: String) = Map(
+      "Date" -> Freshness.formatHttpDate(now.minusSeconds(ageSec)),
+      "Cache-Control" -> "max-age=1000",
+      "ETag" -> etag)
+    val corpus = Seq(
+      ("http://c.example.com/fresh", 200, "text/html; charset=utf-8",
+        Option.empty[String], "NEW-A".getBytes("UTF-8"), "W/\"1\""),
+      ("http://c.example.com/stale-same", 200, "text/html; charset=utf-8",
+        Option.empty[String], "NEW-B".getBytes("UTF-8"), "W/\"2\""),
+      ("http://c.example.com/stale-changed", 200, "text/html; charset=utf-8",
+        Option.empty[String], "NEW-C".getBytes("UTF-8"), "W/\"3-new\"")
+    ).toDF("url", "status", "content_type", "location", "html", "etag")
+    val cacheDf = Seq(
+      ("http://c.example.com/fresh", hdrs(100, "W/\"1\""),
+        "CACHED-A".getBytes("UTF-8"), "text/html; charset=utf-8"),
+      ("http://c.example.com/stale-same", hdrs(5000, "W/\"2\""),
+        "CACHED-B".getBytes("UTF-8"), "text/html; charset=utf-8"),
+      ("http://c.example.com/stale-changed", hdrs(5000, "W/\"old3\""),
+        "CACHED-C".getBytes("UTF-8"), "text/html; charset=utf-8")
+    ).toDF("url", "headers", "body", "content_type")
+    val spec = CrawlSpec(
+      startUrls = Seq("http://c.example.com/fresh",
+        "http://c.example.com/stale-same", "http://c.example.com/stale-changed"),
+      parserId = "body", robotsTxtDisabled = true,
+      cachePolicy = "rfc2616", cacheNowEpochSec = now.getEpochSecond,
+      maxWaves = 2)
+    val res = CrawlJob.run(spark, spec, corpus, cacheDf = Some(cacheDf))
+    val a = auditKinds(res)
+    assert(a("cache_hit") == 1)
+    assert(a("revalidate_304") == 1)
+    assert(a("crawled") == 3)
+    val byUrl = res.records.collect().map(_.getString(3))
+      .map { j => (j, j) }.map(_._1)
+    assert(byUrl.exists(j => j.contains("/fresh") && j.contains("CACHED-A")))
+    assert(byUrl.exists(j => j.contains("stale-same") && j.contains("CACHED-B")))
+    assert(byUrl.exists(j => j.contains("stale-changed") && j.contains("NEW-C")))
+    // no re-fetch for the fresh entry: it never entered the fetch order
+    assert(res.crawlOrder.count() == 2)
+  }
+
+  test("rfc2616 cache: clock moves → fresh entry becomes stale and refetches") {
+    import spark.implicits._
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    val corpus = Seq(
+      ("http://c.example.com/fresh", 200, "text/html; charset=utf-8",
+        Option.empty[String], "NEW-A".getBytes("UTF-8"), "W/\"x\"")
+    ).toDF("url", "status", "content_type", "location", "html", "etag")
+    val cacheDf = Seq(
+      ("http://c.example.com/fresh",
+        Map("Date" -> Freshness.formatHttpDate(t0.minusSeconds(100)),
+          "Cache-Control" -> "max-age=1000", "ETag" -> "W/\"old\""),
+        "CACHED-A".getBytes("UTF-8"), "text/html; charset=utf-8")
+    ).toDF("url", "headers", "body", "content_type")
+    def runAt(now: Instant) = auditKinds(CrawlJob.run(spark,
+      CrawlSpec(startUrls = Seq("http://c.example.com/fresh"),
+        parserId = "body", robotsTxtDisabled = true,
+        cachePolicy = "rfc2616", cacheNowEpochSec = now.getEpochSecond,
+        maxWaves = 2),
+      corpus, cacheDf = Some(cacheDf)))
+    assert(runAt(t0)("cache_hit") == 1)
+    val later = runAt(t0.plusSeconds(2000)) // age 2100 > max-age 1000
+    assert(later.get("cache_hit").isEmpty)
+    assert(later("crawled") == 1)           // validator mismatch → real fetch
+  }
+
+  // ---- randomized politeness delay ---------------------------------------
+
+  test("randomized delay: deterministic, bounded in [0.5d, 1.5d)") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (s"http://h$i.example.com/p", 3))
+      .toDF("url", "wave")
+    val d = 1000L
+    val got = df.withColumn("delay", CrawlJob.delayExpr(d, random = true))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got.values.forall(v => v >= 500 && v < 1500))
+    // independent reimplementation: md5 via MessageDigest
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (url, v) =>
+      val hex = md.digest(s"$url:3".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      assert(v == d / 2 + java.lang.Long.parseLong(hex, 16) % d, url)
+    }
+    // spread: not all equal (sanity that it actually randomizes)
+    assert(got.values.toSet.size > 50)
+  }
+
+  test("requestDelay reorders per-host grants deterministically, loses nothing") {
+    val base = CrawlSpec(startUrls = Seq("http://mega.example.com/"),
+      parserId = "all_links", hostTokensPerWave = 10, maxWaves = 20)
+    val delayed = base.copy(requestDelayMs = 1000, randomDelay = true)
+    val r1 = CrawlJob.run(spark, delayed, pagesDf)
+    val r2 = CrawlJob.run(spark, delayed, pagesDf)
+    val o1 = r1.crawlOrder.collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    val o2 = r2.crawlOrder.collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    assert(o1.sortBy(_.toString) == o2.sortBy(_.toString)) // deterministic
+    assert(auditKinds(r1)("crawled") == 51)                // nothing lost
+    val plain = CrawlJob.run(spark, base, pagesDf)
+    val po = plain.crawlOrder.collect().map(r => (r.getInt(0), r.getString(2))).toSet
+    // same fetched set overall, but the per-wave grant order differs
+    assert(po.map(_._2) == o1.map(_._2).toSet)
+    assert(po != o1.toSet)
+  }
+
+  // ---- requests-per-second limiter ---------------------------------------
+
+  test("requestsPerSecond × waveInterval caps wave size, defers the rest") {
+    val spec = CrawlSpec(startUrls = Seq("http://mega.example.com/"),
+      parserId = "all_links", requestsPerSecond = 5, waveIntervalMs = 1000,
+      maxWaves = 30)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val perWave = res.crawlOrder.groupBy("wave").count()
+      .collect().map(_.getLong(1))
+    assert(perWave.forall(_ <= 5))
+    assert(auditKinds(res)("crawled") == 51)
+  }
+
+  // ---- plan property: default mode has no unpartitioned windows -----------
+
+  test("default (scale-mode) wave plans contain no unpartitioned Window") {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val spec = CrawlSpec(startUrls = Seq("http://mega.example.com/"),
+        parserId = "all_links", hostTokensPerWave = 10, maxWaves = 20)
+      CrawlJob.run(spark, spec, pagesDf)
+      Thread.sleep(3000) // QueryExecutionListener delivery is async
+      val windowLines = plans.synchronized {
+        plans.flatMap(_.linesIterator).map(_.trim)
+          .filter(l => l.contains("Window [") || l.contains("WindowExec"))
+      }
+      assert(windowLines.nonEmpty, "expected windows in the politeness plan")
+      // partitioned windows print `Window [fns], [partitionExprs], [sortExprs]`
+      // — three bracket groups; a global window has only two.
+      val unpartitioned = windowLines.filterNot(
+        _.matches(""".*Window \[.*\], \[.*\], \[.*\].*"""))
+      assert(unpartitioned.isEmpty,
+        s"unpartitioned window(s) in default plan:\n${unpartitioned.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+}

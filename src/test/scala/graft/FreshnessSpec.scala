@@ -81,16 +81,35 @@ class FreshnessSpec extends AnyFunSuite {
     assert(canStore(Map.empty, Map.empty))
   }
 
-  test("vary matching: exact header match required; Vary:* never matches") {
+  test("vary matching: direct value comparison, exactly like cache.go:112-120") {
     val cached = dated("Vary" -> "Accept", "X-Varied-Accept" -> "text/plain")
     assert(varyMatches(cached, Map("Accept" -> "text/plain")))
     assert(!varyMatches(cached, Map("Accept" -> "text/html")))
-    assert(!varyMatches(dated("Vary" -> "*"), Map.empty))
+    // reference compares header VALUES directly: `Vary: *` stores no
+    // X-Varied-* (""), request has no "*" header ("") → match
+    assert(varyMatches(dated("Vary" -> "*"), Map.empty))
+    // empty stored value matches ONLY an absent/empty request header
+    val emptyStored = dated("Vary" -> "Accept", "X-Varied-Accept" -> "")
+    assert(varyMatches(emptyStored, Map.empty))
+    assert(!varyMatches(emptyStored, Map("Accept" -> "text/html")))
     // double vary: all must match
     val dbl = dated("Vary" -> "Accept, Accept-Language",
       "X-Varied-Accept" -> "a", "X-Varied-Accept-Language" -> "da")
     assert(varyMatches(dbl, Map("Accept" -> "a", "Accept-Language" -> "da")))
     assert(!varyMatches(dbl, Map("Accept" -> "a", "Accept-Language" -> "en")))
+  }
+
+  test("unparseable response max-age → lifetime 0, no Expires fallback (cache.go:365-376)") {
+    val resp = dated("Cache-Control" -> "max-age=banana",
+      "Expires" -> formatHttpDate(at(9999)))
+    assert(getFreshness(resp, Map.empty, at(0)) == Stale)
+  }
+
+  test("stale-if-error: request directive applied last wins over response") {
+    val resp = dated("Cache-Control" -> "stale-if-error=1000")
+    val req: Headers = Map("Cache-Control" -> "stale-if-error=10")
+    assert(!canStaleOnError(resp, req, at(500)))  // req bound 10 < age 500
+    assert(canStaleOnError(resp, Map.empty, at(500))) // resp bound alone ok
   }
 
   test("validator injection: ETag → If-None-Match, Last-Modified → If-Modified-Since") {

@@ -31,6 +31,20 @@ class HashExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingMinHash windows over CODEPOINTS (supplementary plane safe)") {
+    // 𝄞 (U+1D11E) is two UTF-16 units but ONE codepoint — the window must
+    // slide over codepoints to agree with polyHash and the DuckDB oracle
+    val s = "ab𝄞cd𝄞ef"
+    val cps = s.codePoints.toArray
+    def polyCp(a: Array[Int]): Long =
+      a.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    (1 to 5).foreach { n =>
+      val naive = (0 to cps.length - n).map(i => polyCp(cps.slice(i, i + n))).min
+      assert(HashOps.rollingMinHash(UTF8String.fromString(s), n) == naive,
+        s"n=$n")
+    }
+  }
+
   test("expressions evaluate inside a DataFrame plan with whole-stage codegen") {
     // spark.range input defeats constant folding, so the projection must
     // really run through generated code
