@@ -50,7 +50,7 @@ object CorpusViews {
         |       ELSE 'text/html; charset=utf-8' END AS content_type,
         |  o_orderdate AS warc_ts,
         |  o_orderkey AS page_key,
-        |  'order ' || o_orderstatus || ' priority ' || o_orderpriority || ' total ' || CAST(CAST(o_totalprice AS BIGINT) AS STRING) AS text,
+        |  'order ' || o_orderstatus || ' priority ' || o_orderpriority || ' total ' || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING) AS text,
         |  CASE WHEN o_orderkey % 5 = 0 THEN 'tr' ELSE 'en' END AS lang
         |FROM orders""".stripMargin,
 
@@ -91,6 +91,19 @@ object CorpusViews {
         |  SELECT
         |    'http://h' || CAST(o_orderkey % 97 AS STRING) || '.example.com/p/' || CAST(o_orderkey AS STRING) AS url
         |  FROM orders WHERE o_orderkey % 3 = 0) s""".stripMargin,
+
+    // cached-entry state table for the RFC2616 cache face (cache/cache.go):
+    // every even page has a cached copy; max-age spreads 0..288M seconds so
+    // a fixed "now" splits fresh vs stale; every 5th entry's validator
+    // diverges from the live page (revalidation MISS → refetch).
+    "cache" ->
+      """SELECT url, page_key,
+        |  warc_ts AS cached_at,
+        |  CAST(page_key % 97 AS BIGINT) * 3000000 AS max_age_s,
+        |  CASE WHEN page_key % 5 = 1
+        |       THEN 'W/"prev-' || CAST(page_key AS STRING) || '"'
+        |       ELSE 'W/"' || CAST(page_key AS STRING) || '"' END AS etag
+        |FROM pages WHERE page_key % 2 = 0""".stripMargin,
 
     "seeds" ->
       """SELECT

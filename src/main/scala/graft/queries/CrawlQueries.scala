@@ -364,9 +364,100 @@ object CrawlQueries {
         |)
         |SELECT url, CAST(MIN(depth) AS INT) AS depth FROM crawl GROUP BY url""".stripMargin))
 
+  /** RFC2616 serve decision over the cached-state table (cache/cache.go:
+    * 182-265 RoundTripRFC2616, collapsed to the corpus-observable actions):
+    * no entry → fetch_store; fresh (max-age > age at the injected clock) →
+    * serve_cached; stale with matching validator → revalidate_304 (keep the
+    * cached body); stale with diverged validator → fetch_store. The engine
+    * twin is CrawlJob's cacheDf path (EngineFeaturesSpec pins it with a fake
+    * clock). Scale: one broadcast-or-shuffle join on url; the freshness
+    * predicate is a scan-pushable integer comparison.
+    */
+  val qCacheDecision = Q(
+    "q19_cache_decision",
+    (s, dir) => {
+      val nowEpoch = 915062400L // 1998-12-31 00:00:00 UTC, after all warc_ts
+      val p = v(s, dir)("pages").select(col("page_key"))
+      val c = v(s, dir)("cache")
+        .select(col("page_key"), col("cached_at"), col("max_age_s"), col("etag"))
+      p.join(c, Seq("page_key"), "left")
+        .withColumn("age", lit(nowEpoch) - unix_timestamp(col("cached_at")))
+        .select(col("page_key"),
+          when(col("cached_at").isNull, lit("fetch_store"))
+            .when(col("max_age_s") > col("age"), lit("serve_cached"))
+            .when(col("etag") === concat(lit("W/\""),
+              col("page_key").cast("string"), lit("\"")),
+              lit("revalidate_304"))
+            .otherwise(lit("fetch_store")).as("action"))
+    },
+    Some(cte("pages", "cache") +
+      """SELECT p.page_key AS page_key,
+        |  CASE WHEN c.page_key IS NULL THEN 'fetch_store'
+        |       WHEN c.max_age_s > 915062400 - CAST(epoch(CAST(c.cached_at AS TIMESTAMP)) AS BIGINT)
+        |            THEN 'serve_cached'
+        |       WHEN c.etag = 'W/"' || CAST(p.page_key AS STRING) || '"'
+        |            THEN 'revalidate_304'
+        |       ELSE 'fetch_store' END AS action
+        |FROM pages p LEFT JOIN cache c ON p.page_key = c.page_key""".stripMargin))
+
+  /** Randomized politeness delay (middleware/delay.go:20-24: uniform in
+    * [0.5d, 1.5d)): the engine's deterministic md5-seeded variant
+    * (CrawlJob.delayExpr), d=1000ms. Pure projection — no shuffle at any
+    * scale; portable across engines by construction (md5 is the seed).
+    */
+  val qRandomDelay = Q(
+    "q33_random_delay",
+    (s, dir) =>
+      v(s, dir)("frontier")
+        .select(col("url"), col("rank"),
+          (lit(500L) + conv(substring(md5(col("url")), 1, 4), 16, 10)
+            .cast("long") % 1000).as("delay_ms")),
+    Some(cte("frontier") +
+      """SELECT url, rank,
+        |  500 + CAST('0x' || substr(md5(url), 1, 4) AS BIGINT) % 1000 AS delay_ms
+        |FROM frontier""".stripMargin))
+
+  /** Proxy assignment, scale face (client/proxy.go:19-48): stateless hash
+    * of the url replaces the reference's atomic round-robin counter — the
+    * engine-side default at cluster scale (no global window, no shared
+    * counter; assignment is stable under retries because it keys on url).
+    * q15 remains the exact round-robin parity face.
+    */
+  val qProxyHashAssign = Q(
+    "q34_proxy_hash_assign",
+    (s, dir) =>
+      v(s, dir)("frontier")
+        .withColumn("proxy_id",
+          conv(substring(md5(col("url")), 1, 4), 16, 10).cast("long") % 5)
+        .groupBy(col("proxy_id")).agg(count(lit(1)).as("n")),
+    Some(cte("frontier") +
+      """SELECT CAST('0x' || substr(md5(url), 1, 4) AS BIGINT) % 5 AS proxy_id,
+        |  COUNT(*) AS n
+        |FROM frontier GROUP BY 1""".stripMargin))
+
+  /** Rendered-fetch body selection (client/client.go:171-247 GetRendered):
+    * rendered requests deliver the pre-rendered DOM (`text` variant), plain
+    * requests the raw html envelope. Engine twin: CrawlSpec.rendered
+    * (EngineFeaturesSpec). Pure projection.
+    */
+  val qRenderedFetch = Q(
+    "q35_rendered_fetch",
+    (s, dir) =>
+      v(s, dir)("pages")
+        .select(col("url"), (col("page_key") % 23 === 0).as("rendered"),
+          when(col("page_key") % 23 === 0, col("text"))
+            .otherwise(concat(lit("<html><body>"), col("text"),
+              lit("</body></html>"))).as("body")),
+    Some(cte("pages") +
+      """SELECT url, page_key % 23 = 0 AS rendered,
+        |  CASE WHEN page_key % 23 = 0 THEN text
+        |       ELSE '<html><body>' || text || '</body></html>' END AS body
+        |FROM pages""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
     qRobotsForbidden, qRetryRequeue, qRedirectResolve, qMetricsStatus,
-    qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs)
+    qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
+    qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch)
 }

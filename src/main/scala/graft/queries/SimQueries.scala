@@ -154,5 +154,96 @@ object SimQueries {
          |WHERE rnk = 1""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(qCosineTopK, qLshBuckets, qAnnBucketed)
+  /** Banded multi-table sign-LSH ANN — the 100 TB-scale path. L=4 tables ×
+    * k=8 bits (table t signs dims 8t+1..8t+8): a candidate pair needs to
+    * collide in ANY table, so recall grows with L while each table's bucket
+    * stays ~n/256 — no single-table quadratic blowup (the q41/q42 weakness).
+    * Candidates are deduped across tables, then scored EXACTLY (cosine
+    * top-1 per query). Same banding structure as MinHash-LSH (q28).
+    *
+    * Scale notes: the per-table bucket join is the only candidate-generation
+    * shuffle; a skewed bucket (many near-zero dims) is handled like skewed
+    * hosts — salt the bucket key into j sub-buckets on the build side and
+    * replicate the probe side j ways (exact, bounded; PERF.md). Query set
+    * restricted to vec_id < 200 (the q40 pattern: a query workload, not
+    * all-pairs).
+    */
+  val qAnnBanded = Q(
+    "q43_ann_banded",
+    (s, dir) => {
+      val e = emb(s, dir)
+      def bucketCol(t: Int) = (0 until 8).map(i =>
+        when(element_at(col("embedding"), t * 8 + i + 1) > 0, lit(1 << i))
+          .otherwise(lit(0))).reduce(_ + _)
+      val keyed = (0 until 4).map(t =>
+          e.select(col("vec_id"), lit(t).as("tbl"), bucketCol(t).as("bucket")))
+        .reduce(_ union _)
+      val pairs = keyed.as("a").join(keyed.as("b"),
+          col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .filter(col("a.vec_id") < 200)
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
+      val flat = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val dots = pairs
+        .join(flat.select(col("vec_id").as("qid"), col("pos"),
+          col("v").as("qv")), Seq("qid"))
+        .join(flat.select(col("vec_id").as("nid"), col("pos"),
+          col("v").as("nv")), Seq("nid", "pos"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qv") * col("nv")).as("dot"))
+      val norms = flat.groupBy(col("vec_id"))
+        .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy((col("dot") / (col("qn") * col("nn"))).desc, col("nid").asc)
+      dots
+        .join(norms.select(col("vec_id").as("qid"), col("nrm").as("qn")), "qid")
+        .join(norms.select(col("vec_id").as("nid"), col("nrm").as("nn")), "nid")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("qid").as("vec_id"), col("nid").as("nn_id"))
+    },
+    Some {
+      val bits = (1 to 8).map(i =>
+        s"CASE WHEN embedding[tbl*8+$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
+        .mkString("\n     + ")
+      s"""WITH tables AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS tbl),
+         |keyed AS (
+         |  SELECT e.vec_id, t.tbl,
+         |    ($bits) AS bucket
+         |  FROM embeddings e CROSS JOIN tables t
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM keyed a JOIN keyed b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 200
+         |),
+         |flat AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |dots AS (
+         |  SELECT p.qid, p.nid, SUM(q.v * n.v) AS dot
+         |  FROM pairs p
+         |  JOIN flat q ON q.vec_id = p.qid
+         |  JOIN flat n ON n.vec_id = p.nid AND n.pos = q.pos
+         |  GROUP BY p.qid, p.nid
+         |),
+         |norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id)
+         |SELECT qid AS vec_id, nid AS nn_id FROM (
+         |  SELECT d.qid, d.nid,
+         |    ROW_NUMBER() OVER (PARTITION BY d.qid
+         |      ORDER BY d.dot / (qn.nrm * nn.nrm) DESC, d.nid ASC) AS rnk
+         |  FROM dots d
+         |  JOIN norms qn ON qn.vec_id = d.qid
+         |  JOIN norms nn ON nn.vec_id = d.nid) t
+         |WHERE rnk = 1""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(qCosineTopK, qLshBuckets, qAnnBucketed, qAnnBanded)
 }
