@@ -48,6 +48,7 @@ object CorpusViews {
         |       ELSE NULL END AS location,
         |  CASE WHEN o_orderkey % 13 = 0 THEN 'text/plain; charset=utf-8'
         |       ELSE 'text/html; charset=utf-8' END AS content_type,
+        |  CAST((o_orderkey % 400) * 10 AS BIGINT) AS latency_ms,
         |  o_orderdate AS warc_ts,
         |  o_orderkey AS page_key,
         |  'order ' || o_orderstatus || ' priority ' || o_orderpriority || ' total ' || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING) AS text,

@@ -56,6 +56,12 @@ final case class CrawlSpec(
     retryHttpCodes: Set[Int] = CrawlSpec.DefaultRetryCodes,
     maxRedirect: Int = 10,                     // options.go:63
     maxBodySize: Long = 1024L * 1024 * 1024,   // client/client.go:51 (1 GB)
+    // Request timeout (client/client.go:76-82: 180s request timeout —
+    // connection tuning's corpus-mode face). With a `latency_ms` corpus
+    // column, rows slower than this are transport errors: retried like the
+    // reference's error path, then ErrorFunc (fetch_timeout) on exhaustion.
+    // 0 = off.
+    requestTimeoutMs: Long = 0L,
     urlRevisitEnabled: Boolean = false,        // options.go:121
     robotsTxtDisabled: Boolean = false,        // options.go:109
     userAgent: String = CrawlSpec.DefaultUserAgent,

@@ -110,7 +110,9 @@ object CrawlJob {
     val hostOfU = udf((u: String) => UrlOps.hostOf(u))
     val pathOfU = udf((u: String) => UrlOps.pathOf(u))
 
-    val cacheActive = spec.cachePolicy == "rfc2616" && cacheDf.nonEmpty
+    val cacheActive =
+      (spec.cachePolicy == "rfc2616" || spec.cachePolicy == "dummy") &&
+        cacheDf.nonEmpty
     val cookiesActive =
       !spec.cookiesDisabled && pages.columns.contains("set_cookie")
 
@@ -127,7 +129,8 @@ object CrawlJob {
       optCol("text", "string", spec.rendered).as("p_text"),
       optCol("set_cookie", "string", cookiesActive).as("p_setck"),
       optCol("etag", "string", cacheActive).as("p_etag"),
-      optCol("last_modified", "string", cacheActive).as("p_lastmod"))
+      optCol("last_modified", "string", cacheActive).as("p_lastmod"),
+      optCol("latency_ms", "long", spec.requestTimeoutMs > 0).as("p_latency"))
 
     val emptyAudit = Seq.empty[(Int, String, String, Int, String, String, String)]
       .toDF("wave", "kind", "method", "status", "host", "url", "detail")
@@ -434,7 +437,11 @@ object CrawlJob {
                       h._1.equalsIgnoreCase("Cache-Control") &&
                         h._2.contains("only-if-cached"))),
                     lit("gateway_504")).otherwise(lit("fetch")))
-                  .otherwise(decideU(col("method"), col("k_headers"))))
+                  .otherwise(
+                    // Dummy policy (cache/cache.go:136-173): a cached entry
+                    // is always served, never revalidated
+                    if (spec.cachePolicy == "dummy") lit("serve_cached")
+                    else decideU(col("method"), col("k_headers"))))
             auditInc += (tagged.filter(col("cache_action") === "gateway_504")
               .select(col("wave"), lit("gateway_504"), col("method"),
                 lit(504), col("host"), col("url"), lit("")))
@@ -465,6 +472,7 @@ object CrawlJob {
           .withColumn("p_setck", lit(null).cast("string"))
           .withColumn("p_etag", lit(null).cast("string"))
           .withColumn("p_lastmod", lit(null).cast("string"))
+          .withColumn("p_latency", lit(null).cast("long"))
           .withColumn("redirect_exceeded", lit(false))
           .drop("p_loc")
         var hop = 0
@@ -483,7 +491,7 @@ object CrawlJob {
               .withColumn("cur_url", col("p_loc"))
               .withColumn("hops", col("hops") + 1)
               .drop("p_status", "p_ct", "p_html", "p_text", "p_setck",
-                "p_etag", "p_lastmod", "p_loc")
+                "p_etag", "p_lastmod", "p_latency", "p_loc")
               .localCheckpoint(true)
           hop += 1
         }
@@ -522,6 +530,7 @@ object CrawlJob {
             .withColumn("p_setck", lit(null).cast("string"))
             .withColumn("p_etag", lit(null).cast("string"))
             .withColumn("p_lastmod", lit(null).cast("string"))
+            .withColumn("p_latency", lit(null).cast("long"))
             .withColumn("redirect_exceeded", lit(false))
             .withColumn("revalidated_304", lit(false))
           fetched = fetched.unionByName(asFetched)
@@ -556,9 +565,22 @@ object CrawlJob {
         }
 
         // ---- retry re-enqueue -------------------------------------------
+        // Two transient-error families (client/client.go:94-121): transport
+        // errors (timeout analog: corpus latency_ms > requestTimeoutMs) and
+        // retryable status codes. BOTH retry up to retryTimes; exhaustion
+        // differs: a timeout never produced a response → ErrorFunc analog
+        // (fetch_timeout audit, nothing delivered), while an exhausted
+        // retryable STATUS response IS delivered to the parser
+        // (geziyor.go:233-263: only err != nil routes to ErrorFunc).
         val retryCodes = spec.retryHttpCodes.toSeq.map(Integer.valueOf)
+        val timedOut =
+          if (spec.requestTimeoutMs > 0)
+            col("p_status").isNotNull && col("p_latency").isNotNull &&
+              col("p_latency") > lit(spec.requestTimeoutMs)
+          else lit(false)
+        val retryableStatus = col("p_status").isin(retryCodes: _*)
         val retryable = fetched.filter(
-          col("p_status").isin(retryCodes: _*) && !col("redirect_exceeded"))
+          (retryableStatus || timedOut) && !col("redirect_exceeded"))
         val requeue = retryable.filter(col("retry") < spec.retryTimes)
           .select(col("url"), col("host"), col("path"), col("depth"),
             col("method"), col("meta"), (col("retry") + 1).as("retry"),
@@ -567,14 +589,24 @@ object CrawlJob {
         auditInc += (retryable.filter(col("retry") < spec.retryTimes)
           .select(col("wave"), lit("retry"), col("method"), col("p_status"),
             col("host"), col("url"), concat(lit("attempt "), col("retry") + 1)))
-        auditInc += (retryable.filter(col("retry") >= spec.retryTimes)
+        auditInc += (retryable.filter(col("retry") >= spec.retryTimes &&
+            !timedOut)
           .select(col("wave"), lit("retry_exhausted"), col("method"),
             col("p_status"), col("host"), col("url"),
             lit(s"gave up after ${spec.retryTimes} retries")))
+        auditInc += (retryable.filter(col("retry") >= spec.retryTimes &&
+            timedOut)
+          .select(col("wave"), lit("fetch_timeout"), col("method"), lit(-1),
+            col("host"), col("url"),
+            lit(s"timed out after ${spec.retryTimes} retries")))
 
         // ---- deliver responses → decode → parse --------------------------
+        // delivered = real responses that are not being retried this wave:
+        // clean statuses AND retry-exhausted retryable statuses; timeouts
+        // never deliver (transport error)
         val responses0 = fetched.filter(col("p_status").isNotNull &&
-          !col("p_status").isin(retryCodes: _*) && !col("redirect_exceeded"))
+          !col("redirect_exceeded") && !timedOut &&
+          (!retryableStatus || col("retry") >= spec.retryTimes))
         // custom response middlewares (geziyor.go:121-126 appended chain)
         val responses =
           responseMiddlewares.foldLeft(responses0)((df, mw) => mw(df))

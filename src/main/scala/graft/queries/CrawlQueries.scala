@@ -454,10 +454,41 @@ object CrawlQueries {
         |       ELSE '<html><body>' || text || '</body></html>' END AS body
         |FROM pages""".stripMargin))
 
+  /** Request-timeout classification (client/client.go:76-82: 180s request
+    * timeout — the connection-tuning knob with corpus-observable semantics).
+    * A fetch whose latency exceeds the timeout is a transport error: retried
+    * like the reference's error path, ErrorFunc on exhaustion. Engine twin:
+    * CrawlSpec.requestTimeoutMs (EngineFeaturesSpec). Scale: the
+    * classification is a scan-level predicate on the joined row.
+    */
+  val qFetchTimeout = Q(
+    "q37_fetch_timeout",
+    (s, dir) => {
+      val f = v(s, dir)("frontier").select(col("url"), col("rank"))
+      val p = v(s, dir)("pages")
+        .select(col("url"), col("status"), col("latency_ms"))
+      val codes = CrawlSpec.DefaultRetryCodes.toSeq.sorted
+      f.join(p, Seq("url"), "left")
+        .select(col("rank"),
+          when(col("status").isNull, lit("miss"))
+            .when(col("latency_ms") > 3000, lit("timeout"))
+            .when(col("status").isin(codes.map(Integer.valueOf): _*),
+              lit("retry"))
+            .otherwise(lit("delivered")).as("action"))
+    },
+    Some(cte("frontier", "pages") +
+      s"""SELECT f.rank AS rank,
+         |  CASE WHEN p.status IS NULL THEN 'miss'
+         |       WHEN p.latency_ms > 3000 THEN 'timeout'
+         |       WHEN p.status IN (${CrawlSpec.DefaultRetryCodes.toSeq.sorted.mkString(", ")}) THEN 'retry'
+         |       ELSE 'delivered' END AS action
+         |FROM frontier f LEFT JOIN pages p ON f.url = p.url""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
     qRobotsForbidden, qRetryRequeue, qRedirectResolve, qMetricsStatus,
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
-    qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch)
+    qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
+    qFetchTimeout)
 }

@@ -245,5 +245,98 @@ object SimQueries {
          |WHERE rnk = 1""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(qCosineTopK, qLshBuckets, qAnnBucketed, qAnnBanded)
+  /** Embedding-cosine near-duplicate detection — the fifth dedup family
+    * (exact / normalized / MinHash / SimHash / embedding-cosine). The
+    * embeddings table has no duplicates, so every 9th vector is re-added
+    * under id+100000 (the docs_aug trick). Candidates come from the q43
+    * banded LSH (exact duplicates collide in EVERY table, so recall for
+    * true dups is 1.0); the near-dup test is EXACT INTEGER arithmetic:
+    * components quantized to floor(v·1000), cosine ≥ 0.95 decided as
+    * 400·dot² ≥ 361·|q|²·|n|² with dot > 0 — no float threshold can flip
+    * between engines. Output: (dup_id, keeper_id = min smaller near-dup).
+    */
+  val qEmbeddingNearDup = Q(
+    "q44_embedding_neardup",
+    (s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val aug = base.union(
+        base.filter(col("vec_id") % 9 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      def bucketCol(t: Int) = (0 until 8).map(i =>
+        when(element_at(col("embedding"), t * 8 + i + 1) > 0, lit(1 << i))
+          .otherwise(lit(0))).reduce(_ + _)
+      val keyed = (0 until 4).map(t =>
+          aug.select(col("vec_id"), lit(t).as("tbl"), bucketCol(t).as("bucket")))
+        .reduce(_ union _)
+      val pairs = keyed.as("a").join(keyed.as("b"),
+          col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") > col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
+      val flat = aug.select(col("vec_id"),
+          posexplode(transform(col("embedding"),
+            v => floor(v.cast("double") * 1000).cast("long")))
+            .as(Seq("pos", "v")))
+      val norms2 = flat.groupBy(col("vec_id"))
+        .agg(sum(col("v") * col("v")).as("n2"))
+      val dots = pairs
+        .join(flat.select(col("vec_id").as("qid"), col("pos"),
+          col("v").as("qv")), Seq("qid"))
+        .join(flat.select(col("vec_id").as("nid"), col("pos"),
+          col("v").as("nv")), Seq("nid", "pos"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qv") * col("nv")).as("dot"))
+      dots
+        .join(norms2.select(col("vec_id").as("qid"), col("n2").as("q2")), "qid")
+        .join(norms2.select(col("vec_id").as("nid"), col("n2").as("m2")), "nid")
+        .filter(col("dot") > 0 &&
+          lit(400L) * col("dot") * col("dot") >= lit(361L) * col("q2") * col("m2"))
+        .groupBy(col("qid").as("dup_id"))
+        .agg(min(col("nid")).as("keeper_id"))
+    },
+    Some {
+      val bits = (1 to 8).map(i =>
+        s"CASE WHEN embedding[tbl*8+$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END")
+        .mkString("\n     + ")
+      s"""WITH emb_aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding
+         |  FROM embeddings WHERE vec_id % 9 = 0
+         |),
+         |tables AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS tbl),
+         |keyed AS (
+         |  SELECT e.vec_id, t.tbl,
+         |    ($bits) AS bucket
+         |  FROM emb_aug e CROSS JOIN tables t
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM keyed a JOIN keyed b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id > b.vec_id
+         |),
+         |flat AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v
+         |  FROM emb_aug
+         |),
+         |norms2 AS (SELECT vec_id, SUM(v * v) AS n2 FROM flat GROUP BY vec_id),
+         |dots AS (
+         |  SELECT p.qid, p.nid, SUM(q.v * n.v) AS dot
+         |  FROM pairs p
+         |  JOIN flat q ON q.vec_id = p.qid
+         |  JOIN flat n ON n.vec_id = p.nid AND n.pos = q.pos
+         |  GROUP BY p.qid, p.nid
+         |)
+         |SELECT d.qid AS dup_id, MIN(d.nid) AS keeper_id
+         |FROM dots d
+         |JOIN norms2 a ON a.vec_id = d.qid
+         |JOIN norms2 b ON b.vec_id = d.nid
+         |WHERE d.dot > 0 AND 400 * d.dot * d.dot >= 361 * a.n2 * b.n2
+         |GROUP BY d.qid""".stripMargin
+    })
+
+  val all: Seq[Q] =
+    Seq(qCosineTopK, qLshBuckets, qAnnBucketed, qAnnBanded, qEmbeddingNearDup)
 }

@@ -64,9 +64,7 @@ object TextQueries {
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM docs_aug GROUP BY lower(trim(text))""".stripMargin))
 
-  /** Whitespace token counting (the BPE-ish regex variant is the
-    * TokenStats expression, unit-tested; this one is oracle-checkable).
-    */
+  /** Whitespace token counting (q36 is the BPE-ish regex variant). */
   val qTokenCount = Q(
     "q22_token_count",
     (s, dir) =>
@@ -76,6 +74,30 @@ object TextQueries {
     Some("""SELECT doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
         |  CAST(length(text) AS INT) AS n_chars_real
+        |FROM documents""".stripMargin))
+
+  /** BPE-ish regex tokenization: maximal alphanumeric runs + single
+    * non-space punctuation marks — the pre-tokenizer split most BPE vocab
+    * pipelines apply before merges (word/punct boundary counting is the
+    * corpus statistic that matters at 100 TB: pure projection, codegen'd
+    * regex, no shuffle).
+    */
+  val qRegexTokens = Q(
+    "q36_regex_tokens",
+    (s, dir) => {
+      val pat = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+          .as("n_word_tokens"))
+        .withColumn("n_punct_tokens", col("n_tokens") - col("n_word_tokens"))
+    },
+    Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_word_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) -
+        |       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_punct_tokens
         |FROM documents""".stripMargin))
 
   /** Quality scoring: alpha ratio, stopword hits, length gates — all
@@ -326,7 +348,7 @@ object TextQueries {
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM agg""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(qDedupExact, qDedupNorm, qTokenCount, qQualityScore,
+  val all: Seq[Q] = Seq(qRegexTokens, qDedupExact, qDedupNorm, qTokenCount, qQualityScore,
     qLangId, qFingerprint, qShingles, qMinHash, qMinHashLsh, qNgramJaccard,
     qSimHash)
 }

@@ -128,8 +128,13 @@ class CrawlJobSpec extends AnyFunSuite {
     val a = auditKinds(res)
     assert(a("retry") == 2)                     // attempts 1 and 2
     assert(a("retry_exhausted") == 1)
-    assert(a("crawled") == 1)                   // /ok
+    // the exhausted 503 response is DELIVERED to the parser (the reference
+    // returns it from the client after the last retry; only transport
+    // errors route to ErrorFunc) → /ok plus the exhausted /always503
+    assert(a("crawled") == 2)
+    assert(recordSeq(res).toSet == sim.records.toSet)
     assert(sim.auditKinds("retry") == 2 && sim.auditKinds("retry_exhausted") == 1)
+    assert(sim.auditKinds("crawled") == 2)
     // the 503 url was fetched 3 times total (1 + 2 retries)
     assert(orderSeq(res).count(_._2.endsWith("always503")) == 3)
     assert(res.waves == 3)

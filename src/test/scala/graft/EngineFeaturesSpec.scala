@@ -190,6 +190,60 @@ class EngineFeaturesSpec extends AnyFunSuite {
     assert(later("crawled") == 1)           // validator mismatch → real fetch
   }
 
+  test("dummy cache policy: cached entries always served, never revalidated") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("http://d.example.com/a", 200, "text/html; charset=utf-8",
+        Option.empty[String], "NEW-A".getBytes("UTF-8")),
+      ("http://d.example.com/b", 200, "text/html; charset=utf-8",
+        Option.empty[String], "NEW-B".getBytes("UTF-8"))
+    ).toDF("url", "status", "content_type", "location", "html")
+    // entry is ANCIENT by any freshness rule — dummy serves it regardless
+    val cacheDf = Seq(
+      ("http://d.example.com/a",
+        Map("Date" -> "Mon, 01 Jan 1990 00:00:00 GMT",
+          "Cache-Control" -> "max-age=1"),
+        "CACHED-A".getBytes("UTF-8"), "text/html; charset=utf-8")
+    ).toDF("url", "headers", "body", "content_type")
+    val spec = CrawlSpec(
+      startUrls = Seq("http://d.example.com/a", "http://d.example.com/b"),
+      parserId = "body", robotsTxtDisabled = true,
+      cachePolicy = "dummy", maxWaves = 2)
+    val res = CrawlJob.run(spark, spec, corpus, cacheDf = Some(cacheDf))
+    val a = auditKinds(res)
+    assert(a("cache_hit") == 1)
+    assert(res.crawlOrder.count() == 1) // only /b actually fetched
+    val recs = recordSeq(res)
+    assert(recs.exists(j => j.contains("/a") && j.contains("CACHED-A")))
+    assert(recs.exists(j => j.contains("/b") && j.contains("NEW-B")))
+  }
+
+  // ---- request timeout (connection-tuning face) ---------------------------
+
+  test("requestTimeout: slow pages retried as transport errors, then ErrorFunc") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("http://t.example.com/fast", 200, "text/html; charset=utf-8",
+        Option.empty[String], "FAST".getBytes("UTF-8"), 50L),
+      ("http://t.example.com/slow", 200, "text/html; charset=utf-8",
+        Option.empty[String], "SLOW".getBytes("UTF-8"), 5000L)
+    ).toDF("url", "status", "content_type", "location", "html", "latency_ms")
+    val spec = CrawlSpec(
+      startUrls = Seq("http://t.example.com/fast", "http://t.example.com/slow"),
+      parserId = "body", robotsTxtDisabled = true,
+      requestTimeoutMs = 1000, maxWaves = 10)
+    val res = CrawlJob.run(spark, spec, corpus)
+    val a = auditKinds(res)
+    assert(a("retry") == 2)          // slow page retried like an error
+    assert(a("fetch_timeout") == 1)  // then ErrorFunc analog — NOT delivered
+    assert(a("crawled") == 1)        // only the fast page delivers
+    assert(a.get("retry_exhausted").isEmpty)
+    val recs = recordSeq(res)
+    assert(recs.size == 1 && recs.head.contains("FAST"))
+    // 1 fast fetch + 3 slow attempts
+    assert(res.crawlOrder.count() == 4)
+  }
+
   // ---- randomized politeness delay ---------------------------------------
 
   test("randomized delay: deterministic, bounded in [0.5d, 1.5d)") {

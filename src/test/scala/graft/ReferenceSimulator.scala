@@ -111,12 +111,16 @@ object ReferenceSimulator {
           if (exceeded) audit("redirect_exceeded") += 1
           else page match {
             case None => audit("fetch_miss") += 1
-            case Some(p) if spec.retryHttpCodes.contains(p.status) =>
-              if (r.retry < spec.retryTimes) {
-                audit("retry") += 1
-                requeued += r.copy(retry = r.retry + 1, isRetry = true)
-              } else audit("retry_exhausted") += 1
+            case Some(p) if spec.retryHttpCodes.contains(p.status) &&
+                r.retry < spec.retryTimes =>
+              audit("retry") += 1
+              requeued += r.copy(retry = r.retry + 1, isRetry = true)
             case Some(p) =>
+              // retry-EXHAUSTED retryable statuses are still delivered to
+              // the callback (client/client.go:111-117 returns the response;
+              // only transport errors route to ErrorFunc, geziyor.go:247-253)
+              if (spec.retryHttpCodes.contains(p.status))
+                audit("retry_exhausted") += 1
               audit("crawled") += 1
               val body = CharsetDecode.truncate(p.html, spec.maxBodySize)
               val text = CharsetDecode.decode(body, p.contentType)
