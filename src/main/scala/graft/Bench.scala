@@ -19,9 +19,10 @@ import org.apache.spark.sql.expressions.Window
   *  - a JVM shutdown hook emits on SIGTERM / unexpected exit;
   *  - every phase runs under try/catch and checks the remaining budget
   *    before each measurement;
-  *  - heavy phases (multi-JVM local-cluster runs, full engine crawls) are
-  *    OPT-IN via SPARK_GRAFT_PHASES; defaults are wave+queries at sizes that
-  *    fit well inside a ~10-minute driver budget including sbt compile.
+  *  - default phases are cluster+queries at sizes that fit well inside a
+  *    ~10-minute driver budget including sbt compile; the thread-scaling
+  *    wave phase and the full-engine crawl phase opt in via
+  *    SPARK_GRAFT_PHASES.
   *
   * Two measurements:
   *  1. per-query wall times for every SparkEntry query at the default
@@ -250,7 +251,7 @@ object Bench {
       .split(",").map(_.trim).toSet
     // Wall-clock budget for the whole main (driver budget is ~10 min
     // INCLUDING sbt startup+compile; leave ample headroom).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "390").toLong
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "420").toLong
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     def remaining: Double = budgetSec - elapsed
@@ -370,7 +371,9 @@ object Bench {
       }
       var e1 = 0.0; var e4 = 0.0
       var visit = 0
-      while (visit < 2 && (visit == 0 || remaining > budgetSec * 0.45)) {
+      // up to 3 interleaved visits when the budget allows — every extra
+      // best-of sample tightens the ratio against ±30% host noise
+      while (visit < 3 && (visit == 0 || remaining > budgetSec * 0.42)) {
         e1 = math.max(e1, clusterAt(1))
         e4 = math.max(e4, clusterAt(4))
         visit += 1
