@@ -234,9 +234,14 @@ object SiteFixtures {
     * `pages(url, warc_ts, html, text, lang)` + fetch-semantics meta columns
     * (status, content_type, location — FIXTURES.md §1 page_meta).
     */
-  def pagesDf(spark: SparkSession): DataFrame = {
+  def pagesDf(spark: SparkSession): DataFrame = pagesDf(spark, allPages)
+
+  /** Any page list as a corpus DataFrame (randomized-parity tests build
+    * synthetic graphs and need the same input shape).
+    */
+  def pagesDf(spark: SparkSession, pages: Seq[Page]): DataFrame = {
     import spark.implicits._
-    allPages.map(p => (p.url, p.warcTs, p.html, p.text, p.lang, p.status,
+    pages.map(p => (p.url, p.warcTs, p.html, p.text, p.lang, p.status,
       p.contentType, Option(p.location), Option(p.setCookie)))
       .toDF("url", "warc_ts", "html", "text", "lang", "status",
         "content_type", "location", "set_cookie")
