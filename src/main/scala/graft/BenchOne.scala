@@ -27,8 +27,12 @@ object BenchOne {
         sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "9g"))
       .config("spark.executor.extraClassPath",
         "/root/repo/target/scala-2.13/classes")
+      // pre-touched initial heap: allocation faults land at executor START
+      // (before the untimed warm-up) instead of inside timed windows — this
+      // microVM pays heavy host-side fault costs under load
       .config("spark.executor.extraJavaOptions",
-        sys.env.getOrElse("SPARK_GRAFT_EXEC_GC", "-XX:+UseParallelGC"))
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_GC",
+          "-XX:+UseParallelGC -Xms8g -XX:+AlwaysPreTouch"))
       // keep shuffle lz4 (uncompressed loopback fetch measured SLOWER at
       // 4 executors: 4-5x more bytes through TCP); bigger in-flight windows
       // + file buffers cut reducer fetch-wait (profiled ~30% of reduce time)
