@@ -694,12 +694,19 @@ object CrawlJob {
         // seen-set anti-join (GETs only; URLRevisitEnabled disables).
         // bloomDedup = the 10^10-scale path: broadcast Bloom prefilter, then
         // exact anti-join only over the maybe-seen rows.
-        val candNew =
-          if (spec.urlRevisitEnabled) candDeduped
-          else if (spec.bloomDedup)
-            graft.state.SeenSet.filterNew(candDeduped,
-              graft.state.SeenSet.build(seen, seen.count()))
-          else candDeduped.join(seen, Seq("url"), "left_anti")
+        // Checkpointed ONCE: both consumers (seen increment + next-frontier
+        // ranking) read the materialized result — without this the
+        // dedup-window + anti-join pipeline ran twice per wave (profiled as
+        // the two dominant per-wave stages).
+        val candNew = {
+          val cn =
+            if (spec.urlRevisitEnabled) candDeduped
+            else if (spec.bloomDedup)
+              graft.state.SeenSet.filterNew(candDeduped,
+                graft.state.SeenSet.build(seen, seen.count()))
+            else candDeduped.join(seen, Seq("url"), "left_anti")
+          cn.localCheckpoint(true)
+        }
 
         // deterministic discovery rank (sync-order mode; geziyor.go:225-227).
         // Next-wave ranks are made unique across the three sources by group
@@ -710,36 +717,39 @@ object CrawlJob {
         // bucketed windows (unique + deterministic, P-way parallel, not a
         // global total order)
         val RankBuckets = 1024
+        // sync mode assigns an exact global discovery rank (one extra
+        // window); scale mode skips the discovery window ENTIRELY — the
+        // frontier-assembly window below orders new discoveries directly by
+        // (parent_rank, link_pos), so only ONE bucketed window runs per
+        // wave (profiled: the second window was a top per-wave cost)
         val ranked0 =
           if (spec.syncOrder) {
             val rw = Window.orderBy(col("parent_rank").asc, col("link_pos").asc)
             candNew.withColumn("rank", row_number().over(rw).cast("long"))
-          } else {
-            val bw = Window
-              .partitionBy(pmod(hash(col("url")), lit(RankBuckets)))
-              .orderBy(col("parent_rank").asc, col("link_pos").asc)
-            candNew.withColumn("rank",
-              pmod(hash(col("url")), lit(RankBuckets)).cast("long") *
-                lit(1L << 40) + row_number().over(bw).cast("long"))
-          }
+          } else candNew.withColumn("rank", lit(0L))
         val nextFrontier = ranked0
           .select(col("url"), col("host"), col("path"), col("depth"),
             lit("GET").as("method"), col("meta"), lit(0).as("retry"),
             lit(0).as("priority"), lit(wave + 1).as("wave"), col("rank"),
-            col("parser_id"), lit(false).as("is_retry"))
+            col("parser_id"), lit(false).as("is_retry"),
+            col("parent_rank").as("ord_a"),
+            col("link_pos").cast("long").as("ord_b"))
 
         tMark = dbg("records-chk", tMark)
         // candNew is unique per wave and anti-joined against seen, so the
-        // increment needs no distinct; checkpoint only the increment (the
-        // accumulated union of materialized pieces stays cheap) — read it
-        // from candNew to skip the discovery-rank window entirely
-        seen = seen.union(
-          candNew.select(col("url")).localCheckpoint(true))
+        // increment needs no distinct — and it's a projection of the
+        // already-checkpointed candNew, so this is free
+        seen = seen.union(candNew.select(col("url")))
         tMark = dbg("seen-increment-chk", tMark)
+        // assembly order keys: deferred/retries by their carried rank, new
+        // discoveries by (parent_rank, link_pos) — unique within a wave in
+        // both modes, so the assigned ranks are deterministic
         val assembled = deferred2.withColumn("wave", col("wave") + 1)
           .withColumn("grp", lit(0))
-          .union(requeue.withColumn("grp", lit(1)))
-          .union(nextFrontier.withColumn("grp", lit(2)))
+          .withColumn("ord_a", col("rank")).withColumn("ord_b", lit(0L))
+          .unionByName(requeue.withColumn("grp", lit(1))
+            .withColumn("ord_a", col("rank")).withColumn("ord_b", lit(0L)))
+          .unionByName(nextFrontier.withColumn("grp", lit(2)))
         frontier = {
           if (spec.syncOrder) {
             val fw = Window.orderBy(col("grp").asc, col("rank").asc)
@@ -747,12 +757,12 @@ object CrawlJob {
           } else {
             val bw = Window
               .partitionBy(pmod(hash(col("url")), lit(RankBuckets)))
-              .orderBy(col("grp").asc, col("rank").asc)
+              .orderBy(col("grp").asc, col("ord_a").asc, col("ord_b").asc)
             assembled.withColumn("rank",
               pmod(hash(col("url")), lit(RankBuckets)).cast("long") *
                 lit(1L << 40) + row_number().over(bw).cast("long"))
           }
-        }.drop("grp")
+        }.drop("grp", "ord_a", "ord_b")
           .localCheckpoint(true)
         tMark = dbg("frontier-assembly-chk", tMark)
         audit = audit.union(auditInc.reduce(_ union _))
