@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE bare JSON line from `sbt runMain graft.Bench`
+// stdout. The default outputStrategy (LoggedOutput) prefixes every forked
+// stdout line with `[info] `, which broke the parse two rounds running —
+// StdoutOutput passes the child's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // local-cluster[...] masters (the N-vs-4N-executor bench) need these in the
 // forked JVM's environment so executor JVMs can be spawned.
 run / envVars ++= Map(

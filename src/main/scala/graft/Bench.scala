@@ -8,9 +8,10 @@ import org.apache.spark.sql.expressions.Window
 /** Benchmark main (driver contract: ONE JSON line on stdout).
   *
   * Harness-survivability design (round-1 postmortem: the driver's bench run
-  * was killed with zero evidence because the single JSON line printed only
-  * after every phase finished, a subprocess stderr pipe was never drained,
-  * and the default sizes outran the driver's time budget):
+  * was killed with zero evidence; round-2 postmortem: the run completed but
+  * sbt's LoggedOutput prefixed the contract line with `[info] ` — fixed in
+  * build.sbt via `run / outputStrategy := StdoutOutput` — and the cluster
+  * phase starved the queries phase of its whole budget):
   *  - ALL results accumulate in a mutable map; `emit()` prints the contract
   *    line exactly once (idempotent, atomically guarded);
   *  - a watchdog thread force-emits whatever has been measured and halts the
@@ -19,18 +20,24 @@ import org.apache.spark.sql.expressions.Window
   *  - a JVM shutdown hook emits on SIGTERM / unexpected exit;
   *  - every phase runs under try/catch and checks the remaining budget
   *    before each measurement;
-  *  - default phases are cluster+queries at sizes that fit well inside a
-  *    ~10-minute driver budget including sbt compile; the thread-scaling
-  *    wave phase and the full-engine crawl phase opt in via
-  *    SPARK_GRAFT_PHASES.
+  *  - phase ORDER guarantees both evidence families: one scaling visit
+  *    first, then the per-query timings, then extra best-of scaling visits
+  *    only while the measured per-visit cost fits the remaining budget.
   *
   * Two measurements:
   *  1. per-query wall times for every SparkEntry query at the default
   *     parallelism (the contract's `queries` map / `value` total);
-  *  2. the headline BASELINE.json metric: URLs fetched+deduped/sec on a
-  *     synthetic Zipf-skewed frontier, run at local[8] and local[32] on the
-  *     SAME input — the sandbox substitute for N vs 4N executors — with
-  *     scaling efficiency T(32) / (4·T(8)).
+  *  2. the headline BASELINE.json north-rule metric: URLs fetched+deduped
+  *     per second for the SAME job on the SAME input at two cluster sizes —
+  *     local-cluster 1 executor × 8 cores (CPU-pinned to its quarter of the
+  *     machine, what one node of a 4-node cluster owns) vs 4 executors × 8
+  *     cores, each executor a separate JVM. Scaling efficiency
+  *     = T(4N) / (4 · T(N)). Every measurement runs in a fresh subprocess
+  *     (graft.BenchOne) that builds its inputs ONCE and times several wave
+  *     repetitions over them, reporting the best — so most of the
+  *     subprocess wall-clock is measurement, not input generation, and the
+  *     harness affords several interleaved best-of visits against this
+  *     microVM's ±30% host noise.
   */
 object Bench {
 
@@ -39,8 +46,16 @@ object Bench {
   /** Deterministic Zipf(s≈1)-skewed frontier: p(host x) ∝ 1/x via
     * host = floor(H^u), u ~ uniform from a hash of the page id.
     */
+  /** Input parallelism: EXPLICIT partition counts on every generated input.
+    * `spark.range(n)` alone inherits defaultParallelism, which in
+    * local-cluster mode is sampled BEFORE the executors register — profiled
+    * as a 2-partition frontier cache whose per-wave map side ran on 2 cores
+    * (a ~15s serial stage bottlenecking every wave, worst at 4 executors).
+    */
+  private val InputParts = 64
+
   private def frontier(spark: SparkSession, n: Long, pageSpace: Long): DataFrame =
-    spark.range(n)
+    spark.range(0L, n, 1L, InputParts)
       .withColumn("page_id", col("id") % pageSpace)
       .withColumn("u",
         (pmod(hash(col("page_id")), lit(1000000)).cast("double")) / 1000000.0)
@@ -61,40 +76,57 @@ object Bench {
       lit(".example.com/p/"), pageId)
   }
 
-  /** Warm-up helper for BenchOne: one small untimed wave. */
-  def waveThroughput(spark: SparkSession, n: Long): Unit = {
-    runWave(spark, math.min(n, 2000000))
-    ()
-  }
-  /** Timed wave seconds (BenchOne entry). */
-  def waveSeconds(spark: SparkSession, n: Long): Double = runWave(spark, n)
-
-  /** One fetch+dedup wave over `n` frontier URLs; returns measured seconds.
-    * Pipeline mirrors CrawlJob's wave step shape.
+  /** The three wave inputs, persisted (SER — deserialized caches of
+    * multi-million-row inputs thrash executor GC; serialized blocks are ~5x
+    * smaller and GC-invisible) and materialized. Built ONCE per benchmark
+    * subprocess; every timed wave re-reads the same cached inputs.
     */
-  private[graft] def runWave(spark: SparkSession, n: Long): Double = {
+  private[graft] def waveInputs(
+      spark: SparkSession, n: Long): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val pageSpace = (n * 8) / 10            // 20% intra-batch dup urls
-    // SER storage: deserialized caches of multi-million-row inputs thrash
-    // executor GC (observed 30-43% of task time in GC at 9g heaps);
-    // serialized blocks are ~5x smaller and GC-invisible.
     val f = frontier(spark, n, pageSpace)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val seen = spark.range(pageSpace / 2)   // half the url space already seen
+    val seen = spark.range(0L, pageSpace / 2, 1L, InputParts) // half the url space already seen
       .select(urlOf(col("id")).as("url"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val pages = spark.range((pageSpace * 7) / 10) // 70% fetch hit rate
+    val pages = spark.range(0L, (pageSpace * 7) / 10, 1L, InputParts) // 70% fetch hit rate
       .select(urlOf(col("id")).as("url"),
         when(col("id") % 37 === 0, 503).otherwise(200).as("status"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    f.count(); seen.count(); pages.count()  // materialize outside the clock
+    f.count(); seen.count(); pages.count()
+    (f, seen, pages)
+  }
 
+  /** One timed fetch+dedup wave over pre-materialized inputs; returns
+    * seconds. Pipeline mirrors CrawlJob's wave step shape:
+    * intra-batch first-wins dedup → seen anti-join → two-phase salted
+    * politeness ranking → fetch join → status aggregation.
+    */
+  private[graft] def timedWave(
+      f: DataFrame, seen: DataFrame, pages: DataFrame,
+      seenCount: Long): Double = {
     val t0 = System.nanoTime()
-    val deduped = f.withColumn("rn",
+    // Intra-batch first-wins dedup. A min_by hash-aggregation was measured
+    // SLOWER here (struct agg buffers force a SortAggregate fallback =
+    // sort-by-url twice); the window sorts once per partition.
+    val deduped0 = f.withColumn("rn",
         row_number().over(Window.partitionBy(col("url"))
           .orderBy(col("depth").asc, col("rank").asc)))
       .filter(col("rn") === 1).drop("rn")
-      .join(seen, Seq("url"), "left_anti")
+    // Seen-set dedup: default = plain exact anti-join. The Bloom-prefilter
+    // scale path (CrawlSpec.bloomDedup → SeenSet.filterNew) is measurable
+    // via SPARK_GRAFT_SEEN=bloom: it wins at steady crawl state (candidates
+    // mostly dupes of a huge, disk-resident seen set) but measured ~10%
+    // SLOWER on this bench shape (seen set RAM-cached, 50% of rows new —
+    // the per-wave Bloom build + row-at-a-time UDF outweigh the halved
+    // join input).
+    val deduped = sys.env.getOrElse("SPARK_GRAFT_SEEN", "anti") match {
+      case "bloom" =>
+        graft.state.SeenSet.filterNew(deduped0,
+          graft.state.SeenSet.build(seen, seenCount))
+      case _ => deduped0.join(seen, Seq("url"), "left_anti")
+    }
     // Two-phase salted politeness ranking: a Zipf-1 mega-host holds ~6% of
     // the frontier — a single-host window would be one straggler task and
     // cap scaling (Amdahl). Phase 1 ranks within (host, salt) and keeps ≤k
@@ -114,8 +146,22 @@ object Bench {
       .agg(count(lit(1)).as("n")).collect()
     val secs = (System.nanoTime() - t0) / 1e9
     require(out.map(_.getLong(1)).sum > 0)
-    f.unpersist(); seen.unpersist(); pages.unpersist()
     secs
+  }
+
+  /** Build inputs once, run one untimed warm-up wave + `reps` timed waves
+    * over them, return the best seconds (BenchOne entry).
+    */
+  def waveBench(spark: SparkSession, n: Long, reps: Int): Double = {
+    val (f, seen, pages) = waveInputs(spark, n)
+    // the engine maintains the seen count incrementally (it sizes the Bloom
+    // bit array), so it is a known input, not timed work
+    val seenCount = seen.count()
+    timedWave(f, seen, pages, seenCount) // warm-up, untimed
+    val best = (1 to math.max(1, reps))
+      .map(_ => timedWave(f, seen, pages, seenCount)).min
+    f.unpersist(); seen.unpersist(); pages.unpersist()
+    best
   }
 
   /** Engine-level benchmark: a real CrawlJob BFS over a generated corpus —
@@ -130,7 +176,7 @@ object Bench {
       urlOf((col("id") * 31 + lit(k) * 7919) % nPages)
     // pre-partitioned on url = the bucketed-corpus deployment: the fetch
     // join only shuffles the frontier side, never the corpus
-    val corpus = spark.range(nPages).select(
+    val corpus = spark.range(0L, nPages, 1L, InputParts).select(
       pageUrl.as("url"),
       lit(200).as("status"),
       lit("text/html; charset=utf-8").as("content_type"),
@@ -142,7 +188,8 @@ object Bench {
       .repartition(col("url"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     corpus.count()
-    val seedsDf = spark.range(seeds).select(urlOf(col("id")).as("url"))
+    val seedsDf = spark.range(0L, seeds, 1L, InputParts)
+      .select(urlOf(col("id")).as("url"))
     val spec = graft.model.CrawlSpec(
       startUrls = Nil,
       parserId = "all_links",
@@ -176,14 +223,12 @@ object Bench {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()
     }
-    Seq("/dev/shm/graft-spark", "/tmp/graft-spark")
+    Seq("/dev/shm/graft-spark", "/tmp/graft-spark",
+        "/dev/shm/graft-spark-one", "/tmp/graft-spark-one")
       .map(new java.io.File(_)).filter(_.exists()).foreach(rm)
   }
 
   private def session(cores: Int): SparkSession = {
-    // default: local[cores]. Override per size with SPARK_GRAFT_MASTER_<c>
-    // (e.g. local-cluster[4,8,16384] — real separate executor JVMs, the
-    // faithful N-vs-4N-executor evidence when the environment allows it).
     val master = sys.env.getOrElse(s"SPARK_GRAFT_MASTER_$cores", s"local[$cores]")
     val s = SparkSession.builder()
       .master(master)
@@ -194,9 +239,6 @@ object Bench {
       .config("spark.executor.extraJavaOptions",
         "-XX:+UseParallelGC")
       .appName(s"graft-bench-$cores")
-      // SAME job config at both cluster sizes (the north-rule comparison
-      // is "same job, N vs 4N executors"): partition count sized for the
-      // larger layout, constant across configs
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "64"))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
@@ -235,17 +277,18 @@ object Bench {
     }
     val extraPart = if (extra.isEmpty) "" else s",$extra"
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"$extraPart,"scaling_note":"same inputs per BASELINE.md: wave = fetch+dedup pipeline at local[8] vs local[32] (4x cores, one JVM); executor numbers (opt-in phase) = SAME job on local-cluster with separate executor JVMs at 1 vs 4 executors x 8 cores; crawljob (opt-in phase) = full BFS engine incl. parse"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"$extraPart,"scaling_note":"north-rule evidence: SAME fetch+dedup wave job on the SAME input at 1 executor x 8 cores (separate JVM, CPU-pinned to a quarter of the machine) vs 4 executors x 8 cores on local-cluster; scaling_efficiency = T(4N)/(4*T(N)) from per-config best across interleaved subprocess visits; thread/crawl phases opt in via SPARK_GRAFT_PHASES"}""")
     System.out.flush()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4000000").toLong
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8000000").toLong
     // Default phases: `cluster` (the literal north-rule setup — same job,
     // same input, 1 vs 4 executor JVMs × 8 cores) + per-query timings.
-    // `wave` (single-JVM thread scaling) and `crawl` (full engine) opt in.
+    // `wave` (thread scaling, local[8] vs local[32] in pinned subprocesses)
+    // and `crawl` (full engine) opt in.
     val phases = sys.env
       .getOrElse("SPARK_GRAFT_PHASES", "cluster,queries")
       .split(",").map(_.trim).toSet
@@ -257,13 +300,18 @@ object Bench {
     def remaining: Double = budgetSec - elapsed
 
     // Watchdog: if anything hangs past budget+grace, emit what we have and
-    // hard-halt — partial evidence beats none (round-1 lesson).
+    // hard-halt — partial evidence beats none (round-1 lesson). No early
+    // `return` in the lambda: a non-local return from a thread body throws
+    // NonLocalReturnControl when main interrupts it (round-2 tail noise).
     val watchdog = new Thread(() => {
-      try Thread.sleep((budgetSec + 45) * 1000L)
-      catch { case _: InterruptedException => return }
-      System.err.println("[bench] watchdog fired — emitting partial results")
-      emit(sfDir)
-      Runtime.getRuntime.halt(0)
+      val interrupted =
+        try { Thread.sleep((budgetSec + 45) * 1000L); false }
+        catch { case _: InterruptedException => true }
+      if (!interrupted) {
+        System.err.println("[bench] watchdog fired — emitting partial results")
+        emit(sfDir)
+        Runtime.getRuntime.halt(0)
+      }
     }, "bench-watchdog")
     watchdog.setDaemon(true)
     watchdog.start()
@@ -283,107 +331,128 @@ object Bench {
         }
       }
 
-    // This microVM shows ±20-30% run-to-run noise (CPU steal + host-side
-    // memory faulting). Every scaling comparison therefore interleaves the
-    // two configs across separate session visits and takes the per-config
-    // best — the ratio of bests is far more stable than any single pair.
-
-    // ---- phase 1: thread scaling (same input, 8 vs 32 cores) -------------
-    phase("wave") {
-      def throughputAt(cores: Int, reps: Int): Double = {
-        val s = session(cores)
-        try {
-          runWave(s, math.min(benchN, 500000)) // warm-up, untimed
-          val secs = (1 to reps).map(_ => runWave(s, benchN)).min
-          benchN / secs
-        } finally { s.stop(); cleanupLocalDir() }
-      }
-      var t8 = 0.0; var t32 = 0.0
-      var visit = 0
-      // interleaved best-of: keep visiting while ≥40% of budget remains
-      while (visit < 2 && (visit == 0 || remaining > budgetSec * 0.4)) {
-        t8 = math.max(t8, throughputAt(8, 2))
-        t32 = math.max(t32, throughputAt(32, 2))
-        visit += 1
-        put("urls_per_sec_local8", t8, "%.0f")
-        put("urls_per_sec_local32", t32, "%.0f")
-        put("thread_scaling_efficiency", t32 / (4.0 * t8))
-        // headline key unless the cluster phase (the more faithful N→4N
-        // evidence) runs and overwrites it
-        if (!phases("cluster")) put("scaling_efficiency", t32 / (4.0 * t8))
-      }
+    // ---- subprocess scaling measurement ----------------------------------
+    // One measurement = one fresh JVM (graft.BenchOne) that builds the wave
+    // inputs once and times `reps` waves over them, printing the best.
+    // `pin` CPU-pins the subprocess (inherited by the executor JVMs it
+    // spawns). Merge+drain stderr continuously (an undrained 64KB pipe
+    // deadlocks the child once Spark's startup logging fills it).
+    def benchOne(master: String, n: Long, reps: Int, pin: Option[String],
+        heap: String, limitSec: Long): Double = {
+      val cp = System.getProperty("java.class.path")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(pkg => Seq("--add-opens", s"$pkg=ALL-UNNAMED"))
+      val pinCmd = pin.map(cores => Seq("taskset", "-c", cores)).getOrElse(Nil)
+      val cmd = pinCmd ++ Seq("java", s"-Xmx$heap",
+        "-XX:+UseParallelGC", "-Dspark.ui.enabled=false") ++ addOpens ++
+        Seq("-cp", cp, "graft.BenchOne", master, n.toString, reps.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_HOME", "/opt/spark")
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+      pb.environment().put("SPARK_WORKER_DIR", "/tmp/graft-spark-worker")
+      pb.environment().put("SPARK_LOG_DIR", "/tmp/graft-spark-logs")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val sb = new StringBuilder
+      val gobbler = new Thread(() => {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var line = br.readLine()
+        while (line != null) {
+          if (line.startsWith("URLS_PER_SEC")) sb.synchronized { sb.append(line).append('\n') }
+          line = br.readLine()
+        }
+      }, "benchone-gobbler")
+      gobbler.setDaemon(true)
+      gobbler.start()
+      val done = proc.waitFor(limitSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { proc.destroyForcibly(); proc.waitFor() }
+      gobbler.join(2000)
+      sb.synchronized { sb.toString }.linesIterator
+        .find(_.startsWith("URLS_PER_SEC"))
+        .map(_.split(" ")(1).toDouble).getOrElse(0.0)
     }
 
-    // ---- opt-in phase: N vs 4N separate executor JVMs (local-cluster) ----
-    // The literal north-rule setup: same job, same input, 1 executor × 8
-    // cores vs 4 executors × 8 cores, each executor its own JVM/heap. The
-    // 1-executor baseline is CPU-pinned to 8 cores (a 4-node cluster's node
-    // owns 1/4 of the hardware). Each measurement runs in a FRESH
-    // subprocess with stderr merged+drained and a hard timeout.
-    phase("cluster") {
-      val clusterN = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_N", "8000000").toLong
-      def clusterAt(execs: Int): Double = {
-        val cp = System.getProperty("java.class.path")
-        val addOpens = Seq(
-          "java.base/java.lang", "java.base/java.lang.invoke",
-          "java.base/java.lang.reflect", "java.base/java.io",
-          "java.base/java.net", "java.base/java.nio",
-          "java.base/java.util", "java.base/java.util.concurrent",
-          "java.base/java.util.concurrent.atomic",
-          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-          "java.base/sun.security.action", "java.base/sun.util.calendar"
-        ).flatMap(pkg => Seq("--add-opens", s"$pkg=ALL-UNNAMED"))
-        val pin =
-          if (execs == 1) Seq("taskset", "-c", "0-7") else Seq.empty[String]
-        val cmd = pin ++ Seq("java", "-Xmx6g",
-          "-XX:+UseParallelGC", "-Dspark.ui.enabled=false") ++ addOpens ++
-          Seq("-cp", cp, "graft.BenchOne",
-            s"local-cluster[$execs,8,10240]", clusterN.toString)
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.environment().put("SPARK_HOME", "/opt/spark")
-        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-        pb.environment().put("SPARK_WORKER_DIR", "/tmp/graft-spark-worker")
-        pb.environment().put("SPARK_LOG_DIR", "/tmp/graft-spark-logs")
-        // CRITICAL (round-1 deadlock): merge stderr into stdout and drain
-        // continuously — Spark writes >64KB of pre-setLogLevel stderr, which
-        // fills an undrained pipe and deadlocks the child.
-        pb.redirectErrorStream(true)
-        val proc = pb.start()
-        val sb = new StringBuilder
-        val gobbler = new Thread(() => {
-          val br = new java.io.BufferedReader(
-            new java.io.InputStreamReader(proc.getInputStream))
-          var line = br.readLine()
-          while (line != null) {
-            if (line.startsWith("URLS_PER_SEC")) sb.synchronized { sb.append(line).append('\n') }
-            line = br.readLine()
-          }
-        }, "benchone-gobbler")
-        gobbler.setDaemon(true)
-        gobbler.start()
-        val limit = math.max(30L, math.min(remaining.toLong - 15, 180L))
-        val done = proc.waitFor(limit, java.util.concurrent.TimeUnit.SECONDS)
-        if (!done) { proc.destroyForcibly(); proc.waitFor() }
-        gobbler.join(2000)
-        sb.synchronized { sb.toString }.linesIterator
-          .find(_.startsWith("URLS_PER_SEC"))
-          .map(_.split(" ")(1).toDouble).getOrElse(0.0)
+    // This microVM shows ±20-30% run-to-run noise (CPU steal + host-side
+    // memory faulting). Every scaling comparison therefore interleaves the
+    // two configs across separate subprocess visits and takes the
+    // per-config best — the ratio of bests is far more stable than any
+    // single pair. Phase ORDER: one cluster visit → all query timings →
+    // extra cluster visits while the measured visit cost fits the budget.
+
+    val clusterN = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_N", benchN.toString).toLong
+    // 2 reps per subprocess: within-subprocess reps share one host phase,
+    // so cross-VISIT samples (fresh subprocess, minutes apart) are worth
+    // more against the ±30% noise than a third same-phase rep
+    val clusterReps = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_REPS", "2").toInt
+    var e1 = 0.0; var e4 = 0.0
+    var bestPair = 0.0
+    val visitPairs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var clusterVisits = 0
+    var lastVisitCost = Double.MaxValue
+    def clusterVisit(): Unit = {
+      val v0 = elapsed
+      // settle before the pinned baseline: let the previous subprocess's
+      // pages/threads drain so host fault pressure is comparable
+      Thread.sleep(3000)
+      val limit = math.max(30L, math.min(remaining.toLong - 15, 170L))
+      val v1 = benchOne(s"local-cluster[1,8,10240]", clusterN,
+        clusterReps, pin = Some("0-7"), heap = "6g", limitSec = limit)
+      val limit4 = math.max(30L, math.min(remaining.toLong - 15, 170L))
+      val v4 = benchOne(s"local-cluster[4,8,10240]", clusterN,
+        clusterReps, pin = None, heap = "6g", limitSec = limit4)
+      e1 = math.max(e1, v1); e4 = math.max(e4, v4)
+      if (v1 > 0 && v4 > 0) {
+        // same-visit pair: both configs measured within ~2 min of each
+        // other, the closest this host gets to a same-phase comparison
+        val pair = v4 / (4.0 * v1)
+        visitPairs += pair
+        bestPair = math.max(bestPair, pair)
       }
-      var e1 = 0.0; var e4 = 0.0
+      clusterVisits += 1
+      lastVisitCost = elapsed - v0
+      if (e1 > 0 && e4 > 0) {
+        put("urls_per_sec_1_executor", e1, "%.0f")
+        put("urls_per_sec_4_executors", e4, "%.0f")
+        put("executor_scaling_efficiency", e4 / (4.0 * e1))
+        // the headline north-rule number: same job, same input, real
+        // separate executor JVMs at N vs 4N — the conservative
+        // ratio-of-bests estimator (per-config best across all visits)
+        put("scaling_efficiency", e4 / (4.0 * e1))
+        // best same-visit pair + the full pair list (noise dossier)
+        put("best_pair_efficiency", bestPair)
+        putRaw("visit_pair_efficiencies",
+          visitPairs.map(p => f"$p%.3f").mkString("[", ",", "]"))
+      }
+      putRaw("cluster_visits", clusterVisits.toString)
+    }
+
+    // ---- visit 1: N vs 4N separate executor JVMs (local-cluster) ---------
+    phase("cluster") { clusterVisit() }
+
+    // ---- opt-in: thread scaling (pinned local[8] vs local[32]) -----------
+    phase("wave") {
+      var t8 = 0.0; var t32 = 0.0
       var visit = 0
-      // up to 3 interleaved visits when the budget allows — every extra
-      // best-of sample tightens the ratio against ±30% host noise
-      while (visit < 3 && (visit == 0 || remaining > budgetSec * 0.42)) {
-        e1 = math.max(e1, clusterAt(1))
-        e4 = math.max(e4, clusterAt(4))
+      while (visit < 2 && (visit == 0 || remaining > budgetSec * 0.5)) {
+        val limit = math.max(30L, math.min(remaining.toLong - 15, 170L))
+        t8 = math.max(t8, benchOne(s"local[8]", benchN, clusterReps,
+          pin = Some("0-7"), heap = "16g", limitSec = limit))
+        t32 = math.max(t32, benchOne(s"local[32]", benchN, clusterReps,
+          pin = None, heap = "16g", limitSec = limit))
         visit += 1
-        if (e1 > 0 && e4 > 0) {
-          put("urls_per_sec_1_executor", e1, "%.0f")
-          put("urls_per_sec_4_executors", e4, "%.0f")
-          put("executor_scaling_efficiency", e4 / (4.0 * e1))
-          // the headline north-rule number: same job, same input, real
-          // separate executor JVMs at N vs 4N
-          put("scaling_efficiency", e4 / (4.0 * e1))
+        if (t8 > 0 && t32 > 0) {
+          put("urls_per_sec_local8", t8, "%.0f")
+          put("urls_per_sec_local32", t32, "%.0f")
+          put("thread_scaling_efficiency", t32 / (4.0 * t8))
+          if (!phases("cluster")) put("scaling_efficiency", t32 / (4.0 * t8))
         }
       }
     }
@@ -406,11 +475,25 @@ object Bench {
       put("crawljob_scaling_efficiency", c32 / (4.0 * c8))
     }
 
-    // ---- per-query timings (after the scaling phases) ---------------------
+    // ---- per-query timings (GUARANTEED a budget slice: runs before any
+    // extra scaling visits — round 2 lost all 47 timings to cluster
+    // over-visiting) ------------------------------------------------------
     phase("queries") {
       val spark = session(cpus)
       try {
-        SparkEntry.entry(spark).count() // warm the JVM/codegen paths
+        // the parity-face queries (q15-q18: syncOrder / round-robin exact
+        // modes) use global windows BY DESIGN; keep their WindowExec
+        // warnings out of the driver-read tail (the default engine mode is
+        // partitioned everywhere — asserted by EngineFeaturesSpec's plan
+        // audit)
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          "org.apache.spark.sql.execution.window.WindowExec",
+          org.apache.logging.log4j.Level.ERROR)
+        // warm the JVM/codegen paths with a cheap SCALE-mode query (the
+        // flagship q17 runs the opt-in syncOrder parity mode, whose global
+        // windows would spray WindowExec warnings into the driver's tail)
+        try SparkEntry.queries("q20_dedup_exact")(spark, sfDir).count()
+        catch { case _: Throwable => () }
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           // each query needs budget headroom; record skips explicitly
           if (remaining > 25) {
@@ -422,6 +505,15 @@ object Bench {
           } else putRaw("queries_truncated", "true")
         }
       } finally { spark.stop(); cleanupLocalDir() }
+    }
+
+    // ---- extra best-of cluster visits with whatever budget remains -------
+    phase("cluster") {
+      val maxVisits = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_VISITS", "6").toInt
+      while (clusterVisits < maxVisits &&
+             remaining > lastVisitCost * 1.1 + 30) {
+        clusterVisit()
+      }
     }
 
     put("bench_elapsed_sec", elapsed)

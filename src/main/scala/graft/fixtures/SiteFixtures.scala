@@ -206,6 +206,44 @@ object SiteFixtures {
         "text/html; charset=utf-8", null))
   }
 
+  /** HTTPS site for robots scheme fidelity (middleware/robotstxt.go:40: the
+    * robots URL carries the TRIGGERING REQUEST's scheme). The robots.txt
+    * exists only under https:// — an engine that hardcodes
+    * http://host/robots.txt misses it and incorrectly allow-alls.
+    */
+  def securePages: Seq[Page] = {
+    def p(url: String, html: String, ct: String = "text/html; charset=utf-8") =
+      Page(url, ts(800), html.getBytes(StandardCharsets.UTF_8), html, "en",
+        200, ct, null)
+    Seq(
+      p("https://secure.example.com/",
+        "<html><body><a href=\"/open\">open</a><a href=\"/hidden/x\">hidden</a></body></html>"),
+      p("https://secure.example.com/robots.txt",
+        "User-agent: *\nDisallow: /hidden\n", ct = "text/plain; charset=utf-8"),
+      p("https://secure.example.com/open",
+        "<html><body><p>open</p></body></html>"),
+      p("https://secure.example.com/hidden/x",
+        "<html><body><p>robots should block this</p></body></html>"))
+  }
+
+  /** Cookie-rotation site (net/http CookieJar REPLACEMENT semantics): /a
+    * sets session=a and links /b; /b replaces it with session=b and links
+    * /c; the /c request must carry ONLY session=b (an accumulate-only jar
+    * would send "session=a; session=b").
+    */
+  def rotatePages: Seq[Page] = {
+    def p(url: String, html: String, ck: String) =
+      Page(url, ts(810), html.getBytes(StandardCharsets.UTF_8), html, "en",
+        200, "text/html; charset=utf-8", null, setCookie = ck)
+    Seq(
+      p("http://rotate.example.com/a",
+        "<html><body><a href=\"/b\">b</a></body></html>", "session=a"),
+      p("http://rotate.example.com/b",
+        "<html><body><a href=\"/c\">c</a></body></html>", "session=b"),
+      p("http://rotate.example.com/c",
+        "<html><body><p>end</p></body></html>", null))
+  }
+
   /** JS-rendered site (client/client.go:171-247 GetRendered): the raw html
     * is an empty SPA shell with no links; the `text` column carries the
     * post-JS rendered DOM (link + content). Plain fetch sees the shell;
@@ -228,7 +266,7 @@ object SiteFixtures {
 
   def allPages: Seq[Page] =
     quotesPages ++ booksPages ++ megaPages ++ redirectPages ++ flakyPages ++
-      charsetPages ++ cookiePages ++ jsPages
+      charsetPages ++ cookiePages ++ jsPages ++ securePages ++ rotatePages
 
   /** The corpus as a DataFrame in the BASELINE input_hint shape
     * `pages(url, warc_ts, html, text, lang)` + fetch-semantics meta columns

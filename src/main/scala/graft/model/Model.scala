@@ -114,6 +114,12 @@ final case class CrawlSpec(
     // geziyor.go:189-197): corpus-mode analog fetches the page's
     // pre-rendered `text` variant (the post-JS DOM) instead of raw `html`.
     rendered: Boolean = false,
+    // Proxy pool (client/proxy.go:19-48 RoundRobinProxy wired via
+    // geziyor.go:77-86). Scale face: stateless stable assignment
+    // proxy_id = md5-hash(url) % N (no shared atomic counter — the q34
+    // face); the assigned proxy identity is stamped on every crawled
+    // audit row as `proxy=<id>:<proxyUrl>`. Empty = direct connections.
+    proxyUrls: Seq[String] = Nil,
     // HTTP cache policy over the cached-state table passed to CrawlJob.run:
     // "off" | "rfc2616" (cache/cache.go:182-301 RoundTripRFC2616). The
     // decision clock is injectable for determinism (cache_test.go:24-30).

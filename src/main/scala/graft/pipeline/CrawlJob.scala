@@ -88,11 +88,14 @@ object CrawlJob {
   /** Deterministic per-(url, wave) politeness delay in ms
     * (middleware/delay.go:20-24: uniform in [0.5d, 1.5d) when randomized).
     * md5-derived so any engine (and the DuckDB oracle) reproduces it.
+    * 12 hex digits = 48 bits of seed: enough that the modulus covers any
+    * realistic delay (4 digits capped the range at 65535ms and carried
+    * visible modulo bias); still well inside BIGINT in Spark and DuckDB.
     */
   private[graft] def delayExpr(d: Long, random: Boolean): Column =
     if (!random) lit(d)
     else lit(d / 2) +
-      conv(substring(md5(concat_ws(":", col("url"), col("wave"))), 1, 4),
+      conv(substring(md5(concat_ws(":", col("url"), col("wave"))), 1, 12),
         16, 10).cast("long") % d
 
   def run(
@@ -138,7 +141,8 @@ object CrawlJob {
       .toDF("wave", "rank", "seq", "json")
     val emptyOrder = Seq.empty[(Int, Long, String)].toDF("wave", "rank", "url")
     val emptyRules = Seq.empty[(String, Seq[String])].toDF("r_host", "prefixes")
-    val emptyCookies = Seq.empty[(String, String)].toDF("c_host", "c_cookie")
+    val emptyCookies = Seq.empty[(String, String, String, Int)]
+      .toDF("c_host", "c_name", "c_cookie", "c_wave")
     val emptyFrontier = Seq
       .empty[(String, String, String, Int, String, Map[String, String], Int, Int, Int, Long, String, Boolean)]
       .toDF("url", "host", "path", "depth", "method", "meta", "retry",
@@ -155,16 +159,25 @@ object CrawlJob {
     var cookieJar = emptyCookies // (c_host, c_cookie) accumulated Set-Cookies
     var cookieJarNonEmpty = false
 
+    // At cold start the seed set itself is the first seen-delta increment
+    // (resume reconstructs `seen` as the union of committed increments).
+    var coldSeedSeen: Option[DataFrame] = None
+
     val resumed = stateDir.flatMap(StateStore.latestCommitted)
     resumed match {
       case Some(w) =>
         val dir = stateDir.get
         frontier = StateStore.read(spark, dir, w, "frontier")
-        seen = StateStore.read(spark, dir, w, "seen")
-        records = StateStore.read(spark, dir, w, "records")
-        audit = StateStore.read(spark, dir, w, "audit")
-        order = StateStore.read(spark, dir, w, "crawl_order")
         robotRules = StateStore.read(spark, dir, w, "robot_rules")
+        // accumulators resume as the union of committed per-wave deltas
+        seen = StateStore.readDeltas(spark, dir, "seen", w)
+          .getOrElse(emptyFrontier.select(col("url")))
+        records = StateStore.readDeltas(spark, dir, "records", w)
+          .getOrElse(emptyRecords)
+        audit = StateStore.readDeltas(spark, dir, "audit", w)
+          .getOrElse(emptyAudit)
+        order = StateStore.readDeltas(spark, dir, "crawl_order", w)
+          .getOrElse(emptyOrder)
         if (StateStore.hasTable(dir, w, "cookies")) {
           cookieJar = StateStore.read(spark, dir, w, "cookies")
           cookieJarNonEmpty = !cookieJar.isEmpty
@@ -209,6 +222,7 @@ object CrawlJob {
           else seedsRaw.filter(col("host").isin(spec.allowedDomains: _*))
         frontier = seedsAllowed.dropDuplicates("url")
         seen = frontier.select(col("url"))
+        coldSeedSeen = Some(seen)
     }
 
     // RFC2616 serve decision as a classifier over the cached entry's headers
@@ -335,19 +349,39 @@ object CrawlJob {
           }
 
         // ---- robots: incrementally fetch rules for NEW hosts ------------
+        // Scheme fidelity (middleware/robotstxt.go:40): the robots URL uses
+        // the triggering request's OWN scheme — per host, the first granted
+        // request (min rank) decides, mirroring the reference's first-
+        // request-wins cache fill. The rules cache stays keyed by host.
         if (!spec.robotsTxtDisabled) {
-          val newHosts = granted2.select(col("host")).distinct()
+          val newHosts = granted2
+            .groupBy(col("host"))
+            .agg(min_by(
+              regexp_extract(col("url"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1),
+              col("rank")).as("scheme"))
             .join(robotRules, col("host") === col("r_host"), "left_anti")
-          val fetchedRules = newHosts
-            .join(corpus,
-              concat(lit("http://"), col("host"), lit("/robots.txt")) === col("p_url"),
-              "left")
-            .select(col("host"),
+            .withColumn("robots_url",
+              concat(when(col("scheme") === "", "http").otherwise(col("scheme")),
+                lit("://"), col("host"), lit("/robots.txt")))
+          // newHosts is tiny by construction (new hosts this wave) → make it
+          // the BROADCAST build side of an inner join so the corpus is never
+          // shuffled for the robots fetch (a left-outer join would force the
+          // huge corpus to be the build side or shuffle both sides); hosts
+          // with no robots page are recovered by the anti-join below
+          // (allow-all, exactly like a 404 in the reference's
+          // FromStatusAndBytes).
+          val hits = corpus
+            .join(broadcast(newHosts), col("p_url") === col("robots_url"))
+            .select(col("host").as("h_hit"),
               when(col("p_status") === 200, col("p_html")).as("body"))
           val parseRobotsU = udf((b: Array[Byte]) =>
             if (b == null) Seq.empty[String]
             else parseRobots(new String(b, java.nio.charset.StandardCharsets.UTF_8)))
-          val newRules = fetchedRules
+          // hits is ≤ |newHosts| rows → broadcast it back onto newHosts (a
+          // single corpus scan feeds both the hit bodies and, via the left
+          // join's nulls, the no-robots-page allow-all rows)
+          val newRules = newHosts
+            .join(broadcast(hits), col("host") === col("h_hit"), "left")
             .select(col("host").as("r_host"), parseRobotsU(col("body")).as("prefixes"))
           robotRules = robotRules.union(newRules).localCheckpoint(true)
         }
@@ -380,9 +414,13 @@ object CrawlJob {
         val withCookies =
           if (!cookiesActive || !cookieJarNonEmpty) robotsOk
           else {
+            // one cookie per (host, name) — jar replacement already applied
+            // at accumulation; header lists cookies name-sorted
+            // (deterministic corpus-mode analog of jar order)
             val hdr = cookieJar.groupBy(col("c_host"))
-              .agg(concat_ws("; ", sort_array(collect_set(col("c_cookie"))))
-                .as("cookie_hdr"))
+              .agg(concat_ws("; ", transform(
+                sort_array(collect_list(struct(col("c_name"), col("c_cookie")))),
+                s => s.getField("c_cookie"))).as("cookie_hdr"))
             robotsOk.join(broadcast(hdr), col("host") === col("c_host"), "left")
               .withColumn("meta",
                 when(col("cookie_hdr").isNotNull,
@@ -458,8 +496,8 @@ object CrawlJob {
         tMark = dbg("politeness+robots+chk", tMark)
         // order/metrics/lineage read from the materialized pending set —
         // no recompute of the politeness/robots pipeline
-        order = order.union(
-          pending.select(col("wave"), col("rank"), col("url")))
+        val orderInc = pending.select(col("wave"), col("rank"), col("url"))
+        order = order.union(orderInc)
         metricsBuf += ((wave, "frontier_size", frontier.count()))
         lineageBuf ++= pending.groupBy(spark_partition_id().as("pid"))
           .agg(count(lit(1)).as("n")).collect()
@@ -554,12 +592,26 @@ object CrawlJob {
             lit(s"stopped after ${spec.maxRedirect} redirects")))
 
         // ---- cookie jar: accumulate Set-Cookie responses ------------------
+        // Jar REPLACEMENT semantics (net/http CookieJar via
+        // client/client.go:250-272): a Set-Cookie whose name matches an
+        // existing jar entry for the host replaces it — the jar is keyed by
+        // (host, cookie_name), latest wave wins (ties broken by max value
+        // for determinism).
         if (cookiesActive) {
           val newCk = fetched.filter(col("p_setck").isNotNull)
-            .select(col("host").as("c_host"), col("p_setck").as("c_cookie"))
+            .select(col("host").as("c_host"),
+              trim(substring_index(substring_index(col("p_setck"), ";", 1),
+                "=", 1)).as("c_name"),
+              col("p_setck").as("c_cookie"),
+              lit(wave).as("c_wave"))
             .distinct()
           if (!newCk.isEmpty) {
-            cookieJar = cookieJar.union(newCk).distinct().localCheckpoint(true)
+            val merged = cookieJar.unionByName(newCk)
+              .withColumn("rn", row_number().over(
+                Window.partitionBy(col("c_host"), col("c_name"))
+                  .orderBy(col("c_wave").desc, col("c_cookie").desc)))
+              .filter(col("rn") === 1).drop("rn")
+            cookieJar = merged.localCheckpoint(true)
             cookieJarNonEmpty = true
           }
         }
@@ -610,8 +662,21 @@ object CrawlJob {
         // custom response middlewares (geziyor.go:121-126 appended chain)
         val responses =
           responseMiddlewares.foldLeft(responses0)((df, mw) => mw(df))
+        // Proxy identity in the audit (client/proxy.go:19-48; SURVEY §2.4):
+        // stable stateless assignment by url hash (the q34 scale face —
+        // portable md5 derivation, so the oracle can reproduce it).
+        val crawlDetail =
+          if (spec.proxyUrls.isEmpty) lit("")
+          else {
+            val pid = conv(substring(md5(col("url")), 1, 4), 16, 10)
+              .cast("long") % spec.proxyUrls.size
+            concat(lit("proxy="), pid, lit(":"),
+              element_at(array(spec.proxyUrls.map(lit): _*),
+                (pid + 1).cast("int")))
+          }
         auditInc += (responses.select(col("wave"), lit("crawled"),
-          col("method"), col("p_status"), col("host"), col("url"), lit("")))
+          col("method"), col("p_status"), col("host"), col("url"),
+          crawlDetail))
 
         val reg = parsers
         val maxBody = spec.maxBodySize
@@ -661,9 +726,10 @@ object CrawlJob {
           .select(col("wave"), lit("parse_error"), lit("GET"), lit(0),
             col("host"), col("url"), col("parse_error")))
 
-        records = records.union(parsed
+        val recordsInc = parsed
           .select(col("wave"), col("rank"),
-            posexplode(col("records")).as(Seq("seq", "json"))))
+            posexplode(col("records")).as(Seq("seq", "json")))
+        records = records.union(recordsInc)
 
         // ---- discovered links → next frontier ----------------------------
         val cand = parsed
@@ -739,6 +805,12 @@ object CrawlJob {
         // candNew is unique per wave and anti-joined against seen, so the
         // increment needs no distinct — and it's a projection of the
         // already-checkpointed candNew, so this is free
+        val seenInc = coldSeedSeen match {
+          case Some(seeds) =>
+            coldSeedSeen = None // seeds belong to the FIRST committed delta
+            seeds.union(candNew.select(col("url")))
+          case None => candNew.select(col("url"))
+        }
         seen = seen.union(candNew.select(col("url")))
         tMark = dbg("seen-increment-chk", tMark)
         // assembly order keys: deferred/retries by their carried rank, new
@@ -765,7 +837,10 @@ object CrawlJob {
         }.drop("grp", "ord_a", "ord_b")
           .localCheckpoint(true)
         tMark = dbg("frontier-assembly-chk", tMark)
-        audit = audit.union(auditInc.reduce(_ union _))
+        // normalize column names: the audit branches select lit() columns
+        // whose auto-names would otherwise leak into the delta parquet
+        val auditIncDf = auditInc.reduce(_ union _).toDF(emptyAudit.columns: _*)
+        audit = audit.union(auditIncDf)
         tMark = dbg("audit-fold-chk", tMark)
 
         persisted += fetched
@@ -773,11 +848,18 @@ object CrawlJob {
         granted2.unpersist()
         deferred2.unpersist()
 
+        // Snapshot tables (bounded by live state) are rewritten whole;
+        // accumulator tables commit ONLY this wave's increment — resume
+        // unions the committed increments (StateStore scaladoc). Write
+        // volume per wave is O(wave output), not O(crawl history).
         stateDir.foreach { dir =>
-          StateStore.commitWave(dir, wave, Map(
-            "frontier" -> frontier, "seen" -> seen, "records" -> records,
-            "audit" -> audit, "crawl_order" -> order,
-            "robot_rules" -> robotRules, "cookies" -> cookieJar))
+          StateStore.commitWave(dir, wave,
+            snapshots = Map(
+              "frontier" -> frontier,
+              "robot_rules" -> robotRules, "cookies" -> cookieJar),
+            deltas = Map(
+              "seen" -> seenInc, "records" -> recordsInc,
+              "audit" -> auditIncDf, "crawl_order" -> orderInc))
         }
         wave += 1
       }

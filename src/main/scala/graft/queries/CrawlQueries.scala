@@ -410,11 +410,11 @@ object CrawlQueries {
     (s, dir) =>
       v(s, dir)("frontier")
         .select(col("url"), col("rank"),
-          (lit(500L) + conv(substring(md5(col("url")), 1, 4), 16, 10)
+          (lit(500L) + conv(substring(md5(col("url")), 1, 12), 16, 10)
             .cast("long") % 1000).as("delay_ms")),
     Some(cte("frontier") +
       """SELECT url, rank,
-        |  500 + CAST('0x' || substr(md5(url), 1, 4) AS BIGINT) % 1000 AS delay_ms
+        |  500 + CAST('0x' || substr(md5(url), 1, 12) AS BIGINT) % 1000 AS delay_ms
         |FROM frontier""".stripMargin))
 
   /** Proxy assignment, scale face (client/proxy.go:19-48): stateless hash

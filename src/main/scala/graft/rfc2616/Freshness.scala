@@ -207,7 +207,13 @@ object Freshness {
           case Stale => Revalidate(addValidators(c, reqHeaders))
           case Transparent => FetchAndStore
         }
-      case _ =>
+      case Some(_) =>
+        // entry exists but Vary headers mismatch: the reference stays in
+        // the cached-entry branch and performs a REAL transport round trip
+        // (cache/cache.go:198-230 — the only-if-cached→504 branch is
+        // reached only when cachedResp == nil, i.e. a true cache miss)
+        FetchAndStore
+      case None =>
         if (parseCacheControl(reqHeaders).contains("only-if-cached"))
           GatewayTimeout504
         else FetchAndStore

@@ -9,17 +9,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * resume, readers only ever see fully-committed snapshots, swappable to
   * real Iceberg later.
   *
-  * Layout: `{dir}/wave={N}/{table}/part-*.parquet` plus a commit marker
-  * `{dir}/_COMMIT_{N}` written only after every table of the snapshot is
-  * durably on disk — a reader taking max committed N can never observe a
-  * torn snapshot (the reference analog is the Dummy cache policy's
-  * "cached response is the truth, never re-fetch", cache/cache.go:136-173).
+  * Two table families (Iceberg-style snapshot semantics):
+  *  - SNAPSHOT tables (frontier, robot_rules, cookies): current-state
+  *    tables rewritten whole per wave at `{dir}/wave={N}/{table}` — they
+  *    are bounded by the live frontier / host count, not crawl history.
+  *  - DELTA tables (records, audit, crawl_order, seen): append-only
+  *    accumulators. Each wave commits ONLY its own increment under
+  *    `{dir}/delta/{table}/wave={N}`; a reader unions the committed
+  *    increments. Rewriting the full accumulation per wave would be
+  *    O(total × waves) write amplification — a scale-killer for long
+  *    checkpointed crawls.
+  *
+  * Atomicity: the commit marker `{dir}/_COMMIT_{N}` is written only after
+  * every snapshot table and delta increment of wave N is durably on disk.
+  * A reader taking max committed N can never observe a torn snapshot, and
+  * `readDeltas` unions increments only up to that N — a half-written
+  * increment from a crashed wave N+1 is invisible and simply overwritten
+  * when the resumed run re-executes the wave.
   */
 object StateStore {
 
-  def commitWave(dir: String, wave: Int, tables: Map[String, DataFrame]): Unit = {
-    tables.foreach { case (name, df) =>
+  def commitWave(
+      dir: String,
+      wave: Int,
+      snapshots: Map[String, DataFrame],
+      deltas: Map[String, DataFrame] = Map.empty): Unit = {
+    snapshots.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/wave=$wave/$name")
+    }
+    deltas.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/delta/$name/wave=$wave")
     }
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(s"$dir/_COMMIT_$wave"), Array.emptyByteArray)
@@ -36,6 +55,24 @@ object StateStore {
 
   def read(spark: SparkSession, dir: String, wave: Int, name: String): DataFrame =
     spark.read.parquet(s"$dir/wave=$wave/$name")
+
+  /** Union of a delta table's committed increments for waves ≤ `upToWave`.
+    * None when no increment exists (caller supplies its empty frame — the
+    * store doesn't know schemas).
+    */
+  def readDeltas(spark: SparkSession, dir: String, name: String,
+      upToWave: Int): Option[DataFrame] = {
+    val base = new java.io.File(s"$dir/delta/$name")
+    if (!base.exists()) return None
+    val waves = base.listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("wave="))
+      .map(_.stripPrefix("wave=").toInt)
+      .filter(_ <= upToWave).sorted
+    if (waves.isEmpty) None
+    else Some(waves
+      .map(w => spark.read.parquet(s"$dir/delta/$name/wave=$w"))
+      .reduce(_ unionByName _))
+  }
 
   def hasTable(dir: String, wave: Int, name: String): Boolean =
     new java.io.File(s"$dir/wave=$wave/$name").exists()

@@ -58,6 +58,54 @@ class EngineFeaturesSpec extends AnyFunSuite {
     assert(recs.exists(_.contains("\"cookie\":\"session=tok42\"")))
   }
 
+  test("cookie jar REPLACES same-name cookies (net/http jar semantics)") {
+    // /a sets session=a → /b replaces it with session=b → /c must carry
+    // ONLY session=b (an accumulate-only jar would send both values)
+    val spec = CrawlSpec(startUrls = Seq("http://rotate.example.com/a"),
+      parserId = "cookie_echo", maxWaves = 5)
+    val recs = recordSeq(CrawlJob.run(spark, spec, pagesDf))
+    assert(recs.size == 3)
+    assert(recs(1).contains("\"cookie\":\"session=a\""))
+    assert(recs(2).contains("\"cookie\":\"session=b\""))
+  }
+
+  // ---- robots scheme fidelity --------------------------------------------
+
+  test("robots.txt fetched with the request's own scheme (https)") {
+    // middleware/robotstxt.go:40 — the robots URL uses r.URL.Scheme; the
+    // fixture's robots.txt exists ONLY at https://, so a hardcoded http://
+    // fetch would miss it and fail to block /hidden/x
+    val spec = CrawlSpec(startUrls = Seq("https://secure.example.com/"),
+      parserId = "all_links", maxWaves = 4)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val kinds = auditKinds(res)
+    assert(kinds("robots_forbidden") == 1)
+    assert(kinds("crawled") == 2) // hub + /open; /hidden/x blocked
+  }
+
+  // ---- proxy identity in the audit ---------------------------------------
+
+  test("proxy pool: crawled audit rows carry the assigned proxy identity") {
+    val proxies = Seq("http://p0:8080", "http://p1:8080", "http://p2:8080")
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 3, proxyUrls = proxies)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val crawled = res.audit.filter(col("kind") === "crawled")
+      .select("url", "detail").collect()
+    assert(crawled.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    crawled.foreach { r =>
+      val hex = md.digest(r.getString(0).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      val pid = (java.lang.Long.parseLong(hex, 16) % proxies.size).toInt
+      assert(r.getString(1) == s"proxy=$pid:${proxies(pid)}", r.getString(0))
+    }
+    // without a pool, no proxy stamp
+    val direct = CrawlJob.run(spark, spec.copy(proxyUrls = Nil), pagesDf)
+    assert(direct.audit.filter(col("kind") === "crawled")
+      .filter(col("detail") =!= "").count() == 0)
+  }
+
   // ---- rendered fetch mode ------------------------------------------------
 
   test("rendered fetch crawls the post-JS DOM (links invisible to plain fetch)") {
@@ -258,7 +306,7 @@ class EngineFeaturesSpec extends AnyFunSuite {
     val md = java.security.MessageDigest.getInstance("MD5")
     got.foreach { case (url, v) =>
       val hex = md.digest(s"$url:3".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(4)
+        .map("%02x".format(_)).mkString.take(12)
       assert(v == d / 2 + java.lang.Long.parseLong(hex, 16) % d, url)
     }
     // spread: not all equal (sanity that it actually randomizes)

@@ -99,6 +99,17 @@ class FreshnessSpec extends AnyFunSuite {
     assert(!varyMatches(dbl, Map("Accept" -> "a", "Accept-Language" -> "en")))
   }
 
+  test("decide: vary-mismatch entry does a real fetch even under only-if-cached") {
+    // cache.go:198-230 — with an entry present but Vary mismatched, the
+    // reference stays in the cached branch and calls transport.RoundTrip;
+    // the 504 short-circuit fires only on a TRUE cache miss
+    val cached = dated("Vary" -> "Accept", "X-Varied-Accept" -> "text/plain")
+    val oic: Headers = Map("Cache-Control" -> "only-if-cached",
+      "Accept" -> "text/html")
+    assert(decide("GET", oic, Some(cached), at(0)) == FetchAndStore)
+    assert(decide("GET", oic, None, at(0)) == GatewayTimeout504)
+  }
+
   test("unparseable response max-age → lifetime 0, no Expires fallback (cache.go:365-376)") {
     val resp = dated("Cache-Control" -> "max-age=banana",
       "Expires" -> formatHttpDate(at(9999)))

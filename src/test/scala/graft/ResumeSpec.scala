@@ -49,6 +49,34 @@ class ResumeSpec extends AnyFunSuite {
     assert(resumed.crawlOrder.filter(col("wave") < 3).count() == partialOrder)
   }
 
+  test("delta commits: wave N writes ONLY wave-N increments for accumulators") {
+    val dir = Files.createTempDirectory("graft-state-delta").toString
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 3)
+    val res = CrawlJob.run(spark, spec, pagesDf, stateDir = Some(dir))
+
+    // each accumulator increment dir holds exactly its own wave's rows —
+    // commit volume is O(wave output), not O(crawl history)
+    for (w <- 0 until 3; table <- Seq("audit", "crawl_order", "records")) {
+      val delta = spark.read.parquet(s"$dir/delta/$table/wave=$w")
+      assert(delta.filter(col("wave") =!= w).count() == 0,
+        s"$table wave=$w delta contains foreign-wave rows")
+      assert(delta.count() ==
+        (table match {
+          case "audit" => res.audit
+          case "crawl_order" => res.crawlOrder
+          case _ => res.records
+        }).filter(col("wave") === w).count(),
+        s"$table wave=$w delta incomplete")
+    }
+    // seen deltas (url-only) partition the final seen set exactly
+    val seenUnion = (0 until 3)
+      .map(w => spark.read.parquet(s"$dir/delta/seen/wave=$w"))
+      .reduce(_ union _)
+    assert(seenUnion.count() == seenUnion.distinct().count())
+    assert(seenUnion.count() == res.seen.count())
+  }
+
   test("resume with nothing committed starts cold") {
     val dir = Files.createTempDirectory("graft-state-empty").toString
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
