@@ -188,17 +188,33 @@ object CrawlJob {
         // (the reference runs seeds through the same middleware chain).
         // Seed source: a driver-side StartURLs list (parity mode, ordered)
         // or a seeds DataFrame with a `url` column (scale mode — a 10^10
-        // frontier seed list is a table, not a Seq).
+        // frontier seed list is a table, not a Seq). Optional seed columns
+        // complete the Get/Head/Post helper surface (geziyor.go:189-217):
+        // `method` (default GET — HEAD skips decode downstream) and `body`
+        // (the POST payload, carried as meta("body") so parsers see it).
         val seedsRaw = seedsDf match {
           case Some(df) =>
             val bw = Window
               .partitionBy(pmod(hash(col("url")), lit(1024)))
               .orderBy(col("url"))
-            df.select(col("url")).withColumn("host", hostOfU(col("url")))
+            val methodCol =
+              if (df.columns.contains("method"))
+                coalesce(col("method"), lit("GET"))
+              else lit("GET")
+            val metaCol =
+              if (df.columns.contains("body"))
+                when(col("body").isNotNull, map(lit("body"), col("body")))
+                  .otherwise(map().cast("map<string,string>"))
+              else map().cast("map<string,string>")
+            df.select(Seq(col("url")) ++
+                (if (df.columns.contains("method")) Seq(col("method")) else Nil) ++
+                (if (df.columns.contains("body")) Seq(col("body")) else Nil): _*)
+              .withColumn("host", hostOfU(col("url")))
               .withColumn("path", pathOfU(col("url")))
               .withColumn("depth", lit(0))
-              .withColumn("method", lit("GET"))
-              .withColumn("meta", map().cast("map<string,string>"))
+              .withColumn("meta", metaCol)
+              .withColumn("method", methodCol)
+              .drop("body")
               .withColumn("retry", lit(0))
               .withColumn("priority", lit(0))
               .withColumn("wave", lit(0))
@@ -207,6 +223,8 @@ object CrawlJob {
                   lit(1L << 40) + row_number().over(bw).cast("long"))
               .withColumn("parser_id", lit(spec.parserId))
               .withColumn("is_retry", lit(false))
+              // canonical column ORDER (positional unions downstream)
+              .select(emptyFrontier.columns.map(col).toIndexedSeq: _*)
           case None =>
             spec.startUrls.zipWithIndex
               .map { case (u, i) =>
@@ -220,8 +238,15 @@ object CrawlJob {
         val seedsAllowed =
           if (spec.allowedDomains.isEmpty) seedsRaw
           else seedsRaw.filter(col("host").isin(spec.allowedDomains: _*))
-        frontier = seedsAllowed.dropDuplicates("url")
-        seen = frontier.select(col("url"))
+        // Only GETs are deduped / enter the seen set
+        // (middleware/duplicate_requests.go:17: non-GET requests are never
+        // filtered and never recorded) — a POST seed must not block a later
+        // GET to the same url.
+        frontier = seedsAllowed.filter(col("method") === "GET")
+          .dropDuplicates("url")
+          .unionByName(seedsAllowed.filter(col("method") =!= "GET"))
+        seen = seedsAllowed.filter(col("method") === "GET")
+          .dropDuplicates("url").select(col("url"))
         coldSeedSeen = Some(seen)
     }
 

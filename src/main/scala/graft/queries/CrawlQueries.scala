@@ -484,11 +484,37 @@ object CrawlQueries {
          |       ELSE 'delivered' END AS action
          |FROM frontier f LEFT JOIN pages p ON f.url = p.url""".stripMargin))
 
+  /** POST fetch face (geziyor.go:209-217 Post helper): non-GET frontier
+    * rows carry a request body (meta("body") engine-side — the seedsDf
+    * `body` column). Corpus-mode: each POST row derives its deterministic
+    * payload, fingerprints it (md5 — portable), and fetches WITHOUT a cache
+    * or dedup gate (non-GET requests bypass both, duplicate_requests.go:17,
+    * cache/cache.go:184-191). Engine twin: the Post/Head seed-face test in
+    * EngineFeaturesSpec. Scale: pure projection + the q01 fetch join.
+    */
+  val qPostFetch = Q(
+    "q38_post_fetch",
+    (s, dir) => {
+      val f = v(s, dir)("frontier")
+        .filter(col("method") === "POST")
+        .select(col("url"), col("rank"),
+          concat(lit("q="), col("path")).as("body"))
+      val p = v(s, dir)("pages").select(col("url"), col("status"))
+      f.join(p, Seq("url"), "left")
+        .select(col("rank"), md5(col("body").cast("binary")).as("body_fp"),
+          coalesce(col("status"), lit(-1)).as("status"))
+    },
+    Some(cte("frontier", "pages") +
+      """SELECT f.rank AS rank, md5('q=' || f.path) AS body_fp,
+        |  COALESCE(p.status, -1) AS status
+        |FROM frontier f LEFT JOIN pages p ON f.url = p.url
+        |WHERE f.method = 'POST'""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
     qRobotsForbidden, qRetryRequeue, qRedirectResolve, qMetricsStatus,
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
-    qFetchTimeout)
+    qFetchTimeout, qPostFetch)
 }

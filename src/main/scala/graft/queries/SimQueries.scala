@@ -17,6 +17,55 @@ object SimQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The banded multi-table sign-LSH key set used by q43/q44: L=4 tables ×
+    * k=8 sign bits (table t signs dims 8t+1..8t+8). One row per (vec, table).
+    */
+  def bandKeyed(e: DataFrame, tables: Int = 4): DataFrame = {
+    def bucketCol(t: Int) = (0 until 8).map(i =>
+      when(element_at(col("embedding"), t * 8 + i + 1) > 0, lit(1 << i))
+        .otherwise(lit(0))).reduce(_ + _)
+    (0 until tables).map(t =>
+        e.select(col("vec_id"), lit(t).as("tbl"), bucketCol(t).as("bucket")))
+      .reduce(_ union _)
+  }
+
+  /** Unsalted banded candidate join (the q43/q44 shape): pairs colliding in
+    * any table. Ordered pairs with qid ≠ nid.
+    */
+  def bandPairs(keyed: DataFrame): DataFrame =
+    keyed.as("a").join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      .distinct()
+
+  /** SALTED banded candidate join — the skew recipe for pathological
+    * buckets (a boilerplate-heavy embedding cluster can put a large share
+    * of the corpus into ONE (tbl, bucket) key, making the per-bucket
+    * self-join quadratic in a single task). Same treatment as skewed
+    * crawl hosts (CrawlSpec.skewSaltBuckets):
+    *   - BUILD side keeps one row per (vec, table), salted by
+    *     hash(vec_id) % S → every join group holds ~|bucket|/S build rows;
+    *   - PROBE side replicates each row S ways (one per salt value).
+    * Every (a, b) collision still meets in exactly one salted group
+    * (the one carrying b's salt), so the pair set is EXACTLY bandPairs' —
+    * asserted with a mega-cluster input in AnnSaltSpec.
+    */
+  def saltedBandPairs(keyed: DataFrame, saltBuckets: Int): DataFrame = {
+    val build = keyed.withColumn("salt",
+      pmod(hash(col("vec_id")), lit(saltBuckets)))
+    val probe = keyed.withColumn("salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    probe.as("a").join(build.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.salt") === col("b.salt") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      .distinct()
+  }
+
   /** Brute-force cosine top-3 neighbors for the first 50 query vectors.
     * Plan shape: posexplode both sides → join on position → partial-agg the
     * dot products (the same shape `functions.aggregate`/`zip_with` compiles

@@ -348,7 +348,95 @@ object TextQueries {
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM agg""".stripMargin
     })
 
+  /** The production near-dup shape END-TO-END: MinHash-LSH banding (q28)
+    * generates the candidate pairs, and the exact n-gram Jaccard (q29's
+    * verify stage) runs ONLY on those candidates — the block key is the LSH
+    * band, not an attribute like `source`. At 10^9 docs this is the whole
+    * pipeline: candidate generation is per-bucket joins (~n/B per bucket),
+    * verification cost is O(candidates · shingles), never O(n²).
+    * A band collision means the pair shares its band's min-shingles, so
+    * every candidate has intersection ≥ 1 — inner joins are lossless here.
+    */
+  val qJaccardLshVerify = Q(
+    "q45_jaccard_lsh_verify",
+    (s, dir) => {
+      val aug = docsAug(s, dir)
+      val sh = aug.filter(size(split(trim(col("text")), " ")) >= 3)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(split(trim(text),' ')) - 2), " +
+            "i -> array_join(slice(split(trim(text),' '), i, 3), ' '))"))
+          .as("shingle"))
+        .distinct()
+      val mh = sh.select(col("doc_id"), col("shingle"),
+          explode(array((0 until 6).map(lit): _*)).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("shingle"))
+          .cast("binary"))).as("minhash"))
+      val bands = mh.withColumn("band", (col("j") / 2).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(concat_ws("#",
+          max(when(col("j") % 2 === 0, col("minhash"))),
+          max(when(col("j") % 2 === 1, col("minhash")))).as("band_key"))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          floor(lit(1000.0) * col("n_inter") /
+            (col("n_a") + col("n_b") - col("n_inter"))).cast("long")
+            .as("jaccard_milli"))
+    },
+    Some(s"WITH $AugSql,\n" +
+      """sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM docs_aug) d,
+        |    unnest(range(1, len(w) - 1)) u(i)
+        |),
+        |mh AS (
+        |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS minhash
+        |  FROM sh, unnest([0,1,2,3,4,5]) s(j) GROUP BY doc_id, j
+        |),
+        |bands AS (
+        |  SELECT doc_id, CAST(j // 2 AS INT) AS band,
+        |    MAX(CASE WHEN j % 2 = 0 THEN minhash END) || '#' ||
+        |    MAX(CASE WHEN j % 2 = 1 THEN minhash END) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2
+        |),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN sh a ON a.doc_id = p.doc_a
+        |  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        |  GROUP BY p.doc_a, p.doc_b
+        |)
+        |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+        |  CAST(floor(1000.0 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT) AS jaccard_milli
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin))
+
   val all: Seq[Q] = Seq(qRegexTokens, qDedupExact, qDedupNorm, qTokenCount, qQualityScore,
     qLangId, qFingerprint, qShingles, qMinHash, qMinHashLsh, qNgramJaccard,
-    qSimHash)
+    qSimHash, qJaccardLshVerify)
 }

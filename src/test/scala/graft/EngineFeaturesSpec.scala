@@ -69,6 +69,35 @@ class EngineFeaturesSpec extends AnyFunSuite {
     assert(recs(2).contains("\"cookie\":\"session=b\""))
   }
 
+  test("Post/Head seed faces: body meta delivered, non-GET never deduped") {
+    import spark.implicits._
+    // geziyor.go:200-217 (Head/Post helpers): seeds may carry a method and
+    // a POST body; the body reaches the parser as meta("body"); non-GET
+    // requests bypass URL-seen dedup (duplicate_requests.go:17)
+    val echo = new graft.pipeline.Parser {
+      val id = "meta_echo"
+      def parse(url: String, html: String, isHtml: Boolean,
+          meta: Map[String, String]): graft.pipeline.ParseOutput =
+        graft.pipeline.ParseOutput(
+          Seq(s"""{"body":"${meta.getOrElse("body", "")}","len":${html.length}}"""),
+          Nil)
+    }
+    val seeds = Seq(
+      ("http://cookie.example.com/private", "GET", null: String),
+      ("http://cookie.example.com/private", "GET", null: String), // dup GET
+      ("http://cookie.example.com/private", "POST", "a=1&b=2"),
+      ("http://cookie.example.com/private", "HEAD", null: String)
+    ).toDF("url", "method", "body")
+    val spec = CrawlSpec(startUrls = Nil, parserId = "meta_echo", maxWaves = 2)
+    val res = CrawlJob.run(spark, spec, pagesDf,
+      parsers = Map("meta_echo" -> echo), seedsDf = Some(seeds))
+    assert(res.crawlOrder.count() == 3) // dup GET deduped; POST+HEAD kept
+    val recs = recordSeq(res)
+    assert(recs.size == 3)
+    assert(recs.count(_.contains("\"body\":\"a=1&b=2\"")) == 1) // POST body
+    assert(recs.count(_.contains("\"len\":0")) == 1) // HEAD: no decode
+  }
+
   // ---- robots scheme fidelity --------------------------------------------
 
   test("robots.txt fetched with the request's own scheme (https)") {
