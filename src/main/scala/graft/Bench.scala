@@ -84,16 +84,19 @@ object Bench {
   private[graft] def waveInputs(
       spark: SparkSession, n: Long): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
+    val level = sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "SER") match {
+      case "DESER" => StorageLevel.MEMORY_AND_DISK
+      case _ => StorageLevel.MEMORY_AND_DISK_SER
+    }
     val pageSpace = (n * 8) / 10            // 20% intra-batch dup urls
-    val f = frontier(spark, n, pageSpace)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val f = frontier(spark, n, pageSpace).persist(level)
     val seen = spark.range(0L, pageSpace / 2, 1L, InputParts) // half the url space already seen
       .select(urlOf(col("id")).as("url"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(level)
     val pages = spark.range(0L, (pageSpace * 7) / 10, 1L, InputParts) // 70% fetch hit rate
       .select(urlOf(col("id")).as("url"),
         when(col("id") % 37 === 0, 503).otherwise(200).as("status"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(level)
     f.count(); seen.count(); pages.count()
     (f, seen, pages)
   }
