@@ -404,4 +404,33 @@ class EngineFeaturesSpec extends AnyFunSuite {
         s"unpartitioned window(s) in default plan:\n${unpartitioned.mkString("\n")}")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("robots new-host fetch plans as a broadcast join (corpus never shuffled)") {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+        parserId = "quotes", maxWaves = 2)
+      CrawlJob.run(spark, spec, pagesDf)
+      Thread.sleep(3000) // QueryExecutionListener delivery is async
+      // the robots rules checkpoint plan joins corpus ⋈ newHosts on
+      // robots_url — it must be a BroadcastHashJoin with the tiny host
+      // set as the build side, never an exchange of the corpus
+      val robotsPlans = plans.synchronized {
+        plans.filter(_.contains("robots_url"))
+      }
+      assert(robotsPlans.nonEmpty, "no robots fetch plan captured")
+      assert(robotsPlans.exists(_.contains("BroadcastHashJoin")),
+        s"robots fetch not broadcast:\n${robotsPlans.head.take(2000)}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
