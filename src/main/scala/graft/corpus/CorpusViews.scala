@@ -50,6 +50,7 @@ object CorpusViews {
         |       ELSE 'text/html; charset=utf-8' END AS content_type,
         |  CAST((o_orderkey % 400) * 10 AS BIGINT) AS latency_ms,
         |  o_orderdate AS warc_ts,
+        |  CAST('<html><head><title>/p/' || CAST(o_orderkey AS STRING) || '</title></head><body><p class="doc">order ' || o_orderstatus || ' priority ' || o_orderpriority || ' total ' || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING) || '</p></body></html>' AS BINARY) AS html,
         |  o_orderkey AS page_key,
         |  'order ' || o_orderstatus || ' priority ' || o_orderpriority || ' total ' || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING) AS text,
         |  CASE WHEN o_orderkey % 5 = 0 THEN 'tr' ELSE 'en' END AS lang

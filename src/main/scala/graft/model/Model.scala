@@ -94,6 +94,10 @@ final case class CrawlSpec(
     // Semantically identical to the plain anti-join (no false negatives);
     // cuts the dedup shuffle to ~new-URL volume at steady state.
     bloomDedup: Boolean = false,
+    // Cuckoo variant of the same prefilter (state/CuckooFilter): identical
+    // no-false-negative routing, plus DELETION — the sketch can withdraw a
+    // seen mark (URLRevisit flows, cache eviction) where a Bloom cannot.
+    cuckooDedup: Boolean = false,
     // Sync-order mode assigns a deterministic GLOBAL discovery rank per wave
     // — the parity mode that reproduces the reference's synchronized crawl
     // order exactly (geziyor.go:225-227) at the cost of one

@@ -795,6 +795,9 @@ object CrawlJob {
             else if (spec.bloomDedup)
               graft.state.SeenSet.filterNew(candDeduped,
                 graft.state.SeenSet.build(seen, seen.count()))
+            else if (spec.cuckooDedup)
+              graft.state.SeenSet.filterNewCuckoo(candDeduped,
+                graft.state.SeenSet.buildCuckoo(seen, seen.count()))
             else candDeduped.join(seen, Seq("url"), "left_anti")
           cn.localCheckpoint(true)
         }

@@ -510,11 +510,46 @@ object CrawlQueries {
         |FROM frontier f LEFT JOIN pages p ON f.url = p.url
         |WHERE f.method = 'POST'""".stripMargin))
 
+  /** The input_hint invariant face: pages carry `html: BINARY`
+    * (Common-Crawl shape — url, warc_ts, html, text, lang) and extraction
+    * must be BYTE-IDENTICAL per url. The Spark side runs the REAL pipeline
+    * over the bytes — charset decode (CharsetDecode.decode honoring the
+    * Content-Type charset param) → HTML parse (html/Html.scala) → CSS
+    * selector extraction (`p.doc`, html/Css.scala) — while the oracle
+    * recomputes the expected text arithmetically from the same view. A
+    * single parse divergence (entity, tag nesting, charset) breaks the hash.
+    *
+    * Scale: one narrow projection + a per-partition streaming map — no
+    * shuffle at all; the parquet scan prunes to 4 columns.
+    */
+  val qHtmlExtract = Q(
+    "q39_html_extract",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val p = v(s, dir)("pages")
+        .filter(col("content_type").startsWith("text/html"))
+        .select(col("url"), col("html"), col("content_type"), col("lang"))
+      val enc = Encoders.tuple(
+        Encoders.STRING, Encoders.BINARY, Encoders.STRING, Encoders.STRING)
+      val outEnc = Encoders.tuple(
+        Encoders.STRING, Encoders.STRING, Encoders.STRING)
+      p.as(enc).mapPartitions { it =>
+        it.map { case (url, html, ct, lang) =>
+          val dom = graft.html.Css.doc(
+            graft.pipeline.CharsetDecode.decode(html, ct))
+          (url, dom.find("p.doc").text, lang)
+        }
+      }(outEnc).toDF("url", "extracted", "lang")
+    },
+    Some(cte("pages") +
+      """SELECT url, text AS extracted, lang FROM pages
+        |WHERE content_type LIKE 'text/html%'""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
     qRobotsForbidden, qRetryRequeue, qRedirectResolve, qMetricsStatus,
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
-    qFetchTimeout, qPostFetch)
+    qFetchTimeout, qPostFetch, qHtmlExtract)
 }

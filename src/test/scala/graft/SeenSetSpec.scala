@@ -48,4 +48,18 @@ class SeenSetSpec extends AnyFunSuite {
     assert(bloom.seen.collect().map(_.getString(0)).toSet ==
       exact.seen.collect().map(_.getString(0)).toSet)
   }
+
+  test("cuckooDedup crawl is result-identical to exact-only crawl") {
+    val pages = SiteFixtures.pagesDf(spark).cache()
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 20)
+    val exact = CrawlJob.run(spark, spec, pages)
+    val cuckoo = CrawlJob.run(spark, spec.copy(cuckooDedup = true), pages)
+    def recs(r: CrawlJob.CrawlResult) =
+      r.records.orderBy(col("wave"), col("rank"), col("seq"))
+        .select("json").collect().map(_.getString(0)).toSeq
+    assert(recs(cuckoo) == recs(exact))
+    assert(cuckoo.seen.collect().map(_.getString(0)).toSet ==
+      exact.seen.collect().map(_.getString(0)).toSet)
+  }
 }
