@@ -69,9 +69,27 @@ object StateStore {
       .map(_.stripPrefix("wave=").toInt)
       .filter(_ <= upToWave).sorted
     if (waves.isEmpty) None
-    else Some(waves
-      .map(w => spark.read.parquet(s"$dir/delta/$name/wave=$w"))
-      .reduce(_ unionByName _))
+    // one multi-path scan, not an N-deep union: a long checkpointed crawl
+    // has thousands of committed increments, and a union plan that deep is
+    // itself a driver-side scale problem (plan size/optimization cost grows
+    // with wave count; a single FileScan over N directories does not)
+    else Some(spark.read.parquet(
+      waves.map(w => s"$dir/delta/$name/wave=$w"): _*))
+  }
+
+  /** Time travel (Iceberg-snapshot semantics): a table exactly as wave
+    * `wave` committed it — snapshot tables read back verbatim, delta
+    * tables as the union of increments ≤ wave. Later waves never disturb
+    * an earlier committed view.
+    */
+  def asOf(spark: SparkSession, dir: String, wave: Int, name: String,
+      delta: Boolean): Option[DataFrame] = {
+    val committed = latestCommitted(dir).exists(_ >= wave) &&
+      new java.io.File(s"$dir/_COMMIT_$wave").exists()
+    if (!committed) None
+    else if (delta) readDeltas(spark, dir, name, wave)
+    else if (hasTable(dir, wave, name)) Some(read(spark, dir, wave, name))
+    else None
   }
 
   def hasTable(dir: String, wave: Int, name: String): Boolean =

@@ -77,6 +77,25 @@ class ResumeSpec extends AnyFunSuite {
     assert(seenUnion.count() == res.seen.count())
   }
 
+  test("time travel: asOf(wave) reads exactly what wave N committed") {
+    val dir = Files.createTempDirectory("graft-state-tt").toString
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 5)
+    val res = CrawlJob.run(spark, spec, pagesDf, stateDir = Some(dir))
+
+    // accumulator as of wave 2 = all increments ≤ 2, untouched by waves 3-4
+    val recAsOf2 = StateStore.asOf(spark, dir, 2, "records", delta = true).get
+    assert(recAsOf2.collect().map(_.toString).toSet ==
+      res.records.filter(col("wave") <= 2).collect().map(_.toString).toSet)
+
+    // snapshot table as of wave 1 = the live frontier wave 1 committed
+    val frontier1 = StateStore.asOf(spark, dir, 1, "frontier", delta = false)
+    assert(frontier1.exists(_.count() > 0))
+
+    // an uncommitted wave is invisible
+    assert(StateStore.asOf(spark, dir, 99, "records", delta = true).isEmpty)
+  }
+
   test("resume with nothing committed starts cold") {
     val dir = Files.createTempDirectory("graft-state-empty").toString
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
