@@ -69,11 +69,21 @@ object BenchOne {
       })
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // per-executor quarter pinning (PinPlugin): each executor JVM tasksets
+    // itself to its own 8-core slice so host pressure hits the 1- and
+    // 4-executor configs symmetrically. local-cluster masters only — in
+    // local[n] mode the "executor" IS the whole JVM and pinning it to one
+    // quarter would throttle the 32-thread config to 8 cores.
+    val builderPinned =
+      if (master.startsWith("local-cluster") &&
+          sys.env.getOrElse("SPARK_GRAFT_PIN_QUARTERS", "").nonEmpty)
+        builder.config("spark.plugins", "graft.PinPlugin")
+      else builder
     // ad-hoc conf overrides for perf experiments:
     //   SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false;spark.foo=bar"
     val withConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .foldLeft(builder) { (b, kv) =>
+      .foldLeft(builderPinned) { (b, kv) =>
         val Array(k, v) = kv.split("=", 2); b.config(k, v)
       }
     val spark = withConf.getOrCreate()

@@ -62,6 +62,10 @@ final case class CrawlSpec(
     // reference's error path, then ErrorFunc (fetch_timeout) on exhaustion.
     // 0 = off.
     requestTimeoutMs: Long = 0L,
+    // options.go:38 / client.go:146-152: skip charset detection entirely —
+    // body bytes are used as-is (decoded as UTF-8), no Content-Type param
+    // or <meta charset> sniffing.
+    charsetDetectDisabled: Boolean = false,
     urlRevisitEnabled: Boolean = false,        // options.go:121
     robotsTxtDisabled: Boolean = false,        // options.go:109
     userAgent: String = CrawlSpec.DefaultUserAgent,
@@ -89,6 +93,10 @@ final case class CrawlSpec(
     // wants bounded waves.
     concurrentRequests: Int = Int.MaxValue,
     parseHtmlDisabled: Boolean = false,        // options.go:73
+    // options.go:58 / log_stats.go:13-18: suppress the per-response
+    // "Crawled: (status) <METHOD url>" log — here, the `crawled` audit rows
+    // (the log IS the audit table); counters and records are unaffected.
+    logDisabled: Boolean = false,
     parserId: String = "default",
     // Scale path: Bloom-prefiltered seen-set anti-join (graft.state.SeenSet).
     // Semantically identical to the plain anti-join (no false negatives);

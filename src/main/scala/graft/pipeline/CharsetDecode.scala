@@ -35,6 +35,14 @@ object CharsetDecode {
     new String(body, cs)
   }
 
+  /** CharsetDetectDisabled path (options.go:38, client/client.go:146-152):
+    * no charset.NewReader — bytes pass through as-is; downstream consumers
+    * treat them as UTF-8, exactly like Go string conversion of raw bytes.
+    */
+  def decodeRaw(body: Array[Byte]): String =
+    if (body == null || body.isEmpty) "" else
+      new String(body, StandardCharsets.UTF_8)
+
   /** Body-size cap applied BEFORE decode (client/client.go:137: the reference
     * truncates the byte stream at MaxBodySize).
     */

@@ -699,13 +699,20 @@ object CrawlJob {
               element_at(array(spec.proxyUrls.map(lit): _*),
                 (pid + 1).cast("int")))
           }
-        auditInc += (responses.select(col("wave"), lit("crawled"),
-          col("method"), col("p_status"), col("host"), col("url"),
-          crawlDetail))
+        if (!spec.logDisabled)
+          auditInc += (responses.select(col("wave"), lit("crawled"),
+            col("method"), col("p_status"), col("host"), col("url"),
+            crawlDetail))
+        else
+          // LogDisabled kills the log lines, NOT the counters
+          // (metrics.go counters live outside LogStats) — keep the
+          // per-wave crawled count in the metrics table directly.
+          metricsBuf += ((wave, "crawled", responses.count()))
 
         val reg = parsers
         val maxBody = spec.maxBodySize
         val parseHtmlDisabled = spec.parseHtmlDisabled
+        val charsetDetectDisabled = spec.charsetDetectDisabled
         // Rendered fetch mode (client/client.go:171-247): deliver the
         // pre-rendered DOM (`text` variant, always utf-8 HTML) instead of
         // the raw body — the corpus-mode analog of GetRendered.
@@ -732,7 +739,9 @@ object CrawlJob {
               val body = CharsetDecode.truncate(html, maxBody)
               val isHead = method == "HEAD"
               val text =
-                if (isHead) "" else CharsetDecode.decode(body, ct)
+                if (isHead) ""
+                else if (charsetDetectDisabled) CharsetDecode.decodeRaw(body)
+                else CharsetDecode.decode(body, ct)
               val html4Parse = CharsetDecode.isHtml(ct) && !parseHtmlDisabled
               Parsers.safeParse(reg)(parserId, finalUrl, text, html4Parse, meta) match {
                 case Right(out) => (url, host, depth, meta, w, rank, parserId,

@@ -149,6 +149,29 @@ class CrawlJobSpec extends AnyFunSuite {
     assert(recs.head.contains(SiteFixtures.TurkishText))
   }
 
+  test("charsetDetectDisabled: bytes pass through raw, no Content-Type sniff") {
+    val spec = CrawlSpec(startUrls = Seq("http://charset.example.com/tr"),
+      parserId = "body", maxWaves = 2, charsetDetectDisabled = true)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val recs = recordSeq(res)
+    assert(recs.size == 1)
+    // ISO-8859-9 bytes read as UTF-8 → the Turkish text must NOT round-trip
+    // (reference parity: charset.NewReader skipped, client.go:146-152)
+    assert(!recs.head.contains(SiteFixtures.TurkishText))
+  }
+
+  test("logDisabled drops crawled audit rows but keeps counters and records") {
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 20, logDisabled = true)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    assert(recordSeq(res).size == 100)
+    assert(!auditKinds(res).contains("crawled"))
+    // the response counter survives (log_stats.go:14: metrics are separate)
+    val crawledMetric = res.metrics.filter(col("metric") === "crawled")
+      .agg(sum(col("value"))).collect()(0).getLong(0)
+    assert(crawledMetric == 10)
+  }
+
   test("politeness: ≤ k fetches per host per wave, nothing lost") {
     val spec = CrawlSpec(startUrls = Seq("http://mega.example.com/"),
       parserId = "all_links", hostTokensPerWave = 10, maxWaves = 20)
