@@ -406,15 +406,17 @@ object Bench {
     var lastVisitCost = Double.MaxValue
     def clusterVisit(): Unit = {
       val v0 = elapsed
-      // settle before the pinned baseline: let the previous subprocess's
-      // pages/threads drain so host fault pressure is comparable
-      Thread.sleep(3000)
-      val limit = math.max(30L, math.min(remaining.toLong - 15, 170L))
-      val v1 = benchOne(s"local-cluster[1,8,10240]", clusterN,
-        clusterReps, pin = Some("0-7"), heap = "6g", limitSec = limit)
+      // settle, then run the 4-executor config FIRST: the 32-core config
+      // is the host-pressure-fragile one (dossier: e4 swings ±40% under
+      // churn, the pinned 8-core baseline ±12%), so it gets the freshest
+      // post-settle host state; the robust baseline follows
+      Thread.sleep(5000)
       val limit4 = math.max(30L, math.min(remaining.toLong - 15, 170L))
       val v4 = benchOne(s"local-cluster[4,8,10240]", clusterN,
         clusterReps, pin = None, heap = "6g", limitSec = limit4)
+      val limit = math.max(30L, math.min(remaining.toLong - 15, 170L))
+      val v1 = benchOne(s"local-cluster[1,8,10240]", clusterN,
+        clusterReps, pin = Some("0-7"), heap = "6g", limitSec = limit)
       e1 = math.max(e1, v1); e4 = math.max(e4, v4)
       if (v1 > 0 && v4 > 0) {
         // same-visit pair: both configs measured within ~2 min of each
@@ -448,11 +450,13 @@ object Bench {
     var waveVisitCost = Double.MaxValue
     def waveVisit(): Unit = {
       val v0 = elapsed
+      // same fragile-config-first ordering as clusterVisit
+      Thread.sleep(5000)
       val limit = math.max(30L, math.min(remaining.toLong - 15, 170L))
-      t8 = math.max(t8, benchOne(s"local[8]", benchN, clusterReps,
-        pin = Some("0-7"), heap = "16g", limitSec = limit))
       t32 = math.max(t32, benchOne(s"local[32]", benchN, clusterReps,
         pin = None, heap = "16g", limitSec = limit))
+      t8 = math.max(t8, benchOne(s"local[8]", benchN, clusterReps,
+        pin = Some("0-7"), heap = "16g", limitSec = limit))
       waveVisitCost = elapsed - v0
       if (t8 > 0 && t32 > 0) {
         put("urls_per_sec_local8", t8, "%.0f")
