@@ -405,6 +405,42 @@ class EngineFeaturesSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("bucketed corpus: fetch join plans with NO exchange (the 100 TB layout)") {
+    // The q01 scale note's claim, pinned: when the pages corpus and the
+    // frontier are bucketed on `url` (the 10^10-scale storage layout —
+    // Iceberg bucket partitioning in production), the fetch join needs no
+    // shuffle at all on either side.
+    import spark.implicits._
+    spark.sql(
+      "CREATE DATABASE IF NOT EXISTS graft_bdb LOCATION '/tmp/graft-bucketdb'")
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    // force the shuffle-join path — at 10^10 rows neither side broadcasts;
+    // the test must prove the BUCKETED layout, not a small-data broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pages = (0 until 20000)
+        .map(i => (s"http://h${i % 97}.example.com/p/$i", 200 + i % 3))
+        .toDF("url", "status")
+      val frontier = (0 until 10000)
+        .map(i => (s"http://h${i % 97}.example.com/p/${i * 2}", i.toLong))
+        .toDF("url", "rank")
+      pages.write.mode("overwrite").bucketBy(8, "url").sortBy("url")
+        .saveAsTable("graft_bdb.pages_b")
+      frontier.write.mode("overwrite").bucketBy(8, "url")
+        .saveAsTable("graft_bdb.frontier_b")
+      val fetched = spark.table("graft_bdb.frontier_b")
+        .join(spark.table("graft_bdb.pages_b"), Seq("url"), "left")
+      assert(fetched.count() == 10000)
+      val plan = fetched.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed fetch join still shuffles:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP DATABASE IF EXISTS graft_bdb CASCADE")
+    }
+  }
+
   test("robots new-host fetch plans as a broadcast join (corpus never shuffled)") {
     val plans = scala.collection.mutable.ArrayBuffer.empty[String]
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
