@@ -545,11 +545,38 @@ object CrawlQueries {
       """SELECT url, text AS extracted, lang FROM pages
         |WHERE content_type LIKE 'text/html%'""".stripMargin))
 
+  /** URL canonicalization (`UrlOps.canonicalize`) — the web-scale seen-set
+    * hygiene layer (RFC 3986 §6.2 safe set: lowercase scheme/host, strip
+    * default port, remove dot segments, drop fragment). The oracle is
+    * self-proving: each clean frontier url is deliberately messed up with
+    * exactly those aliasing transformations (uppercased scheme+host, :80,
+    * /./ dot segment, #fragment) and the REAL canonicalizer must recover
+    * the original string byte-identically. Pure per-row map — no shuffle.
+    */
+  val qUrlCanonical = Q(
+    "q46_url_canonical",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      CorpusViews.register(s, dir)
+      val messy = s.sql(
+        """SELECT 'HTTP://' || UPPER(host) || ':80/./' || SUBSTR(path, 2)
+          |  || '#frag' AS raw, url FROM frontier""".stripMargin)
+      val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+      messy.as(enc).mapPartitions { it =>
+        it.map { case (raw, _) =>
+          (raw, graft.url.UrlOps.canonicalize(raw))
+        }
+      }(enc).toDF("raw", "canonical")
+    },
+    Some(cte("frontier") +
+      """SELECT 'HTTP://' || UPPER(host) || ':80/./' || SUBSTR(path, 2)
+        |  || '#frag' AS raw, url AS canonical FROM frontier""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
     qRobotsForbidden, qRetryRequeue, qRedirectResolve, qMetricsStatus,
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
-    qFetchTimeout, qPostFetch, qHtmlExtract)
+    qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical)
 }

@@ -123,6 +123,37 @@ object UrlOps {
     r.copy(fragment = null).toString
   }
 
+  /** Canonical form for frontier keying at web scale — the reference's
+    * seen-set keys on exact strings (duplicate_requests.go:18), which at
+    * 10^10 URLs leaks trivially-aliased duplicates; canonicalization is
+    * the standard crawl hygiene layer applied BEFORE the seen-set.
+    * Normalizations (the safe RFC 3986 §6.2 set): lowercase scheme+host,
+    * strip default ports (http:80, https:443), remove dot segments,
+    * "" → "/" path when an authority is present, drop the fragment.
+    * Percent-encoding and query normalization are intentionally NOT done
+    * (they can change server-observable semantics).
+    */
+  def canonicalize(url: String): String = {
+    val u = parse(url)
+    val auth =
+      if (u.authority == null) null
+      else {
+        val at = u.authority.lastIndexOf('@')
+        val user = if (at >= 0) u.authority.substring(0, at + 1) else ""
+        val hp = u.authority.substring(at + 1).toLowerCase
+        // a trailing :80/:443 is always a port (an IPv6 literal is
+        // bracketed, so its colons never end the authority)
+        val stripped =
+          if (u.scheme == "http" && hp.endsWith(":80")) hp.dropRight(3)
+          else if (u.scheme == "https" && hp.endsWith(":443")) hp.dropRight(4)
+          else hp
+        user + stripped
+      }
+    val path0 = removeDotSegments(u.path)
+    val path = if (auth != null && path0.isEmpty) "/" else path0
+    Url(u.scheme, auth, path, u.query, null).toString
+  }
+
   /** Host of an absolute URL (frontier partition key). */
   def hostOf(url: String): String = parse(url).host
 

@@ -110,4 +110,21 @@ class UrlSpec extends AnyFunSuite {
       assert(out.startsWith("http://"))
     }
   }
+
+  test("canonicalize: RFC 3986 §6.2 safe normalizations") {
+    val c = UrlOps.canonicalize _
+    assert(c("HTTP://Example.COM:80/a/../b#f") == "http://example.com/b")
+    assert(c("https://Example.com:443/x") == "https://example.com/x")
+    assert(c("https://example.com:8443/x") == "https://example.com:8443/x")
+    assert(c("http://example.com") == "http://example.com/")   // "" → "/"
+    assert(c("http://example.com/./p/") == "http://example.com/p/")
+    assert(c("http://u:p@Host.com:80/q?a=1#z") == "http://u:p@host.com/q?a=1")
+    assert(c("http://[::1]:80/v6") == "http://[::1]/v6")       // port stripped
+    assert(c("http://[::1]:8080/v6") == "http://[::1]:8080/v6")
+    // query is NOT touched (server-observable), case of path preserved
+    assert(c("http://example.com/CaSe?B=2&A=1") == "http://example.com/CaSe?B=2&A=1")
+    // idempotent
+    val u = "HTTP://A.B:80/./x/../y#q"
+    assert(c(c(u)) == c(u))
+  }
 }
