@@ -405,6 +405,58 @@ class EngineFeaturesSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("AQE splits a mega-host skewed host-keyed join (the runtime skew path)") {
+    // Host-keyed stages (politeness state, cookie jars) are where Zipf
+    // mega-domains skew a join — the engine's primary answer is the exact
+    // two-phase salted ranking (plan-audit test above); this pins the
+    // complementary RUNTIME answer: AQE detects the oversized partition
+    // and splits it (skew=true in the final plan), no manual salting.
+    import spark.implicits._
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.join.preferSortMergeJoin"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    try {
+      // 94% of the frontier on one mega host (Zipf head)
+      val frontier = spark.range(0, 400000).select(
+        concat(lit("http://"),
+          when(pmod(col("id"), lit(16)) =!= 0, lit("mega.example.com"))
+            .otherwise(concat(lit("h"), pmod(col("id"), lit(97)))),
+          lit("/p/"), col("id")).as("url"),
+        when(pmod(col("id"), lit(16)) =!= 0, lit("mega.example.com"))
+          .otherwise(concat(lit("h"), pmod(col("id"), lit(97)))).as("host"))
+      // host-state comes from the state store (a scan), NOT an inline
+      // aggregate — which is also what OptimizeSkewedJoin needs: its
+      // pattern is SMJ(Sort(stage), Sort(stage)); an agg between the sort
+      // and the shuffle stage (e.g. distinct()) disables the rule
+      val hostState = spark.range(0, 98).select(
+        when(col("id") === 97, lit("mega.example.com"))
+          .otherwise(concat(lit("h"), col("id"))).as("host"),
+        lit(0L).as("next_allowed_ms"))
+      val joined = frontier.join(hostState, Seq("host"))
+      // execute THIS dataset's adaptive plan (count() would plan a separate
+      // query and leave this one isFinalPlan=false)
+      val qe = joined.queryExecution
+      assert(qe.executedPlan.execute().count() == 400000)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the mega-host partition:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed corpus: fetch join plans with NO exchange (the 100 TB layout)") {
     // The q01 scale note's claim, pinned: when the pages corpus and the
     // frontier are bucketed on `url` (the 10^10-scale storage layout —
