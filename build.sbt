@@ -16,6 +16,11 @@ run / fork := true
 // stdout line with `[info] `, which broke the parse two rounds running —
 // StdoutOutput passes the child's stdout through raw.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver parses the LAST stdout line; sbt's `[success] Total time: …`
+// epilogue printed after the contract JSON left `parsed: null` three rounds
+// running. Suppress it (errors still reach stderr via `[error]` log lines).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // local-cluster[...] masters (the N-vs-4N-executor bench) need these in the
 // forked JVM's environment so executor JVMs can be spawned.
 run / envVars ++= Map(

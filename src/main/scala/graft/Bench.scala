@@ -279,8 +279,15 @@ object Bench {
       results.toSeq.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     }
     val extraPart = if (extra.isEmpty) "" else s",$extra"
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"$extraPart,"scaling_note":"north-rule evidence, two families on the SAME fetch+dedup wave job + SAME input: executor scaling (1 executor x 8 cores, separate JVM, CPU-pinned, vs 4 executors x 8 cores on local-cluster) and thread scaling (pinned local[8] vs local[32]); each efficiency = T(4N)/(4*T(N)) from per-config best across interleaved subprocess visits; headline scaling_efficiency = better-evidenced family (see scaling_efficiency_source); host-noise dossier + floor analysis: BASELINE.md round-3"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"$extraPart,"scaling_note":"north-rule evidence, two families on the SAME fetch+dedup wave job + SAME input: executor scaling (1 executor x 8 cores, separate JVM, CPU-pinned, vs 4 executors x 8 cores on local-cluster) and thread scaling (pinned local[8] vs local[32]); each efficiency = T(4N)/(4*T(N)) from per-config best across interleaved subprocess visits; headline scaling_efficiency = the pre-declared executor family (the north rule's literal N-vs-4N-executor form), thread family reported alongside; host-noise dossier + floor analysis: BASELINE.md round-3/4"}"""
+    // Belt-and-braces: persist the contract line to a file too, so a driver
+    // stdout-parsing quirk can never lose the round's bench evidence again.
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_LAST.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
     System.out.flush()
   }
 
@@ -406,17 +413,25 @@ object Bench {
     var lastVisitCost = Double.MaxValue
     def clusterVisit(): Unit = {
       val v0 = elapsed
-      // settle, then run the 4-executor config FIRST: the 32-core config
-      // is the host-pressure-fragile one (dossier: e4 swings ±40% under
-      // churn, the pinned 8-core baseline ±12%), so it gets the freshest
-      // post-settle host state; the robust baseline follows
+      // settle, then ALTERNATE which config runs first across visits
+      // (round-3 advice: always running the noise-fragile 4x config right
+      // after the settle gave it a one-sided host-state advantage, biasing
+      // the efficiency ratio's numerator upward); alternating averages the
+      // post-settle benefit across both sides of the ratio
       Thread.sleep(5000)
-      val limit4 = math.max(30L, math.min(remaining.toLong - 15, 170L))
-      val v4 = benchOne(s"local-cluster[4,8,10240]", clusterN,
-        clusterReps, pin = None, heap = "6g", limitSec = limit4)
-      val limit = math.max(30L, math.min(remaining.toLong - 15, 170L))
-      val v1 = benchOne(s"local-cluster[1,8,10240]", clusterN,
-        clusterReps, pin = Some("0-7"), heap = "6g", limitSec = limit)
+      def run4() = {
+        val lim = math.max(30L, math.min(remaining.toLong - 15, 170L))
+        benchOne(s"local-cluster[4,8,10240]", clusterN,
+          clusterReps, pin = None, heap = "6g", limitSec = lim)
+      }
+      def run1() = {
+        val lim = math.max(30L, math.min(remaining.toLong - 15, 170L))
+        benchOne(s"local-cluster[1,8,10240]", clusterN,
+          clusterReps, pin = Some("0-7"), heap = "6g", limitSec = lim)
+      }
+      val (v4, v1) =
+        if (clusterVisits % 2 == 0) { val a = run4(); val b = run1(); (a, b) }
+        else { val b = run1(); val a = run4(); (a, b) }
       e1 = math.max(e1, v1); e4 = math.max(e4, v4)
       if (v1 > 0 && v4 > 0) {
         // same-visit pair: both configs measured within ~2 min of each
@@ -448,15 +463,27 @@ object Bench {
 
     // ---- thread scaling (pinned local[8] vs local[32]) — default --------
     var waveVisitCost = Double.MaxValue
+    var waveVisits = 0
     def waveVisit(): Unit = {
       val v0 = elapsed
-      // same fragile-config-first ordering as clusterVisit
+      // same alternating first-config ordering as clusterVisit
       Thread.sleep(5000)
-      val limit = math.max(30L, math.min(remaining.toLong - 15, 170L))
-      t32 = math.max(t32, benchOne(s"local[32]", benchN, clusterReps,
-        pin = None, heap = "16g", limitSec = limit))
-      t8 = math.max(t8, benchOne(s"local[8]", benchN, clusterReps,
-        pin = Some("0-7"), heap = "16g", limitSec = limit))
+      def run32() = {
+        val lim = math.max(30L, math.min(remaining.toLong - 15, 170L))
+        benchOne(s"local[32]", benchN, clusterReps,
+          pin = None, heap = "16g", limitSec = lim)
+      }
+      def run8() = {
+        val lim = math.max(30L, math.min(remaining.toLong - 15, 170L))
+        benchOne(s"local[8]", benchN, clusterReps,
+          pin = Some("0-7"), heap = "16g", limitSec = lim)
+      }
+      if (waveVisits % 2 == 0) {
+        t32 = math.max(t32, run32()); t8 = math.max(t8, run8())
+      } else {
+        t8 = math.max(t8, run8()); t32 = math.max(t32, run32())
+      }
+      waveVisits += 1
       waveVisitCost = elapsed - v0
       if (t8 > 0 && t32 > 0) {
         put("urls_per_sec_local8", t8, "%.0f")
@@ -547,21 +574,22 @@ object Bench {
           "\"" + e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160) + "\"")
     }
 
-    // ---- headline: best-evidenced of the two sanctioned families --------
-    // Both compare the SAME job on the SAME input at N vs 4N parallelism;
-    // the sandbox rule names local[8]→local[32] explicitly, the north rule
-    // names N→4N executors — report both, headline the better-evidenced,
-    // label the source. Family-specific fields always carry both numbers.
+    // ---- headline: the PRE-DECLARED executor family ----------------------
+    // Both families compare the SAME job on the SAME input at N vs 4N
+    // parallelism, but the headline is fixed up-front to the executor family
+    // (the north rule's literal N-vs-4N-executor form) — round-3 advice:
+    // picking whichever family is numerically larger inflates the headline
+    // toward the luckier draw. Thread family falls back in only when the
+    // cluster phase produced nothing (e.g. phases env excluded it).
     val execEff = if (e1 > 0 && e4 > 0) e4 / (4.0 * e1) else 0.0
     val threadEff = if (t8 > 0 && t32 > 0) t32 / (4.0 * t8) else 0.0
-    if (math.max(execEff, threadEff) > 0) {
-      if (execEff >= threadEff) {
-        put("scaling_efficiency", execEff)
-        putRaw("scaling_efficiency_source", "\"executor_1x8_to_4x8\"")
-      } else {
-        put("scaling_efficiency", threadEff)
-        putRaw("scaling_efficiency_source", "\"thread_local8_to_local32\"")
-      }
+    if (execEff > 0) {
+      put("scaling_efficiency", execEff)
+      putRaw("scaling_efficiency_source", "\"executor_1x8_to_4x8\"")
+    } else if (threadEff > 0) {
+      put("scaling_efficiency", threadEff)
+      putRaw("scaling_efficiency_source",
+        "\"thread_local8_to_local32 (cluster family unavailable)\"")
     }
     put("bench_elapsed_sec", elapsed)
     emit(sfDir)
