@@ -29,7 +29,10 @@ import scala.util.hashing.MurmurHash3
 final class CuckooFilter private (
     numBuckets: Int,
     table: Array[Long],
-    private var stash: Set[Short],
+    // multiset (fingerprint → copies): two overflowed items with equal
+    // fingerprints must keep TWO stash copies, or a single delete() of one
+    // would produce a false negative for the other (round-3 advice)
+    private var stash: Map[Short, Int],
     private var count: Long) extends Serializable {
 
   import CuckooFilter._
@@ -73,7 +76,8 @@ final class CuckooFilter private (
       kicks += 1
     }
     // overflow safety valve: stash keeps the no-false-negative contract
-    stash += cur.toShort
+    val fpS = cur.toShort
+    stash = stash.updated(fpS, stash.getOrElse(fpS, 0) + 1)
     count += 1
     true
   }
@@ -106,8 +110,13 @@ final class CuckooFilter private (
       if (slot(b2, i) == fp) { setSlot(b2, i, Empty); count -= 1; return true }
       i += 1
     }
-    if (stash.contains(fp.toShort)) { stash -= fp.toShort; count -= 1; true }
-    else false
+    stash.get(fp.toShort) match {
+      case Some(n) =>
+        stash = if (n > 1) stash.updated(fp.toShort, n - 1)
+                else stash - fp.toShort
+        count -= 1; true
+      case None => false
+    }
   }
 }
 
@@ -120,7 +129,7 @@ object CuckooFilter {
   def create(expected: Long): CuckooFilter = {
     val needed = math.max(16L, math.ceil(expected / (SlotsPerBucket * 0.95)).toLong)
     val numBuckets = java.lang.Long.highestOneBit(needed * 2 - 1).toInt
-    new CuckooFilter(numBuckets, new Array[Long](numBuckets), Set.empty, 0L)
+    new CuckooFilter(numBuckets, new Array[Long](numBuckets), Map.empty, 0L)
   }
 
   /** 16-bit nonzero fingerprint (0 marks an empty slot). */

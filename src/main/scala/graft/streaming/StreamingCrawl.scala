@@ -62,6 +62,11 @@ object StreamingCrawl {
       pages: DataFrame,
       seenTablePath: String,
       sinks: Seq[DataFrame => Unit]) = {
+    // Incremental Bloom across micro-batches (the closure lives for the
+    // query lifetime): bootstrap once from the persisted seen table, then
+    // absorb each batch's fresh urls via associative mergeInPlace — the
+    // same no-per-batch-rebuild rule as the batch wave loop (CrawlJob).
+    var bloomState: Option[graft.state.SeenSet.BloomState] = None
     urlStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -75,10 +80,13 @@ object StreamingCrawl {
         // prefilter skips the anti-join shuffle for the definitely-new
         // majority; the exact anti-join runs only on maybe-seen rows.
         val fresh =
-          if (seenExists)
+          if (seenExists) {
+            if (bloomState.isEmpty || bloomState.exists(_.overfull))
+              bloomState =
+                Some(graft.state.SeenSet.buildState(seen, seen.count()))
             graft.state.SeenSet.filterNew(batchUrls,
-              graft.state.SeenSet.build(seen, seen.count()))
-          else batchUrls
+              graft.state.SeenSet.Layered(bloomState.get.bloom, seen))
+          } else batchUrls
         val fetched = fresh.join(
           pages.select(col("url"), col("status"), col("text")),
           Seq("url"), "left")
@@ -86,6 +94,10 @@ object StreamingCrawl {
         try {
           sinks.foreach(_(fetched))
           fresh.write.mode("append").parquet(seenTablePath)
+          // fresh is persisted via fetched's cache — count is cheap; the
+          // merged filter covers this batch's appends for the next batch
+          bloomState = bloomState.map(st =>
+            graft.state.SeenSet.mergeIncrement(st, fresh, fresh.count()))
         } finally fetched.unpersist()
         ()
       }

@@ -46,12 +46,38 @@ class CuckooFilterSpec extends AnyFunSuite {
     val seen = (0 until 5000).map(url).toDF("url")
     val cand = (2500 until 7500).map(url).toDF("url")
       .withColumn("depth", lit(1))
-    val layered = SeenSet.buildCuckoo(seen, 5000)
-    val got = SeenSet.filterNewCuckoo(cand, layered.copy(seen = seen))
+    val state = SeenSet.buildCuckooState(seen, 5000)
+    val got = SeenSet.filterNewCuckoo(cand, state, seen)
       .select("url").collect().map(_.getString(0)).toSet
     val want = cand.join(seen, Seq("url"), "left_anti")
       .select("url").collect().map(_.getString(0)).toSet
     assert(got == want) // exact: cuckoo only routes, never decides
     assert(want == (5000 until 7500).map(url).toSet)
+  }
+
+  test("incremental updateCuckoo keeps no-false-negatives (no full rescan)") {
+    import spark.implicits._
+    val seen0 = (0 until 3000).map(url).toDF("url")
+    val inc = (3000 until 5000).map(url).toDF("url")
+    val state =
+      SeenSet.updateCuckoo(SeenSet.buildCuckooState(seen0, 3000), inc, 2000)
+    assert(state.count == 5000)
+    // every accumulated member (original + increment) must be maybe-seen —
+    // a false negative through the incremental path would re-fetch the url
+    val shards = state.filters.collect().toMap // test-only inspection
+    (0 until 5000).foreach { i =>
+      val u = url(i)
+      assert(shards(SeenSet.shardOf(u, state.nShards)).mightContain(u), u)
+    }
+  }
+
+  test("stash multiset: equal-fingerprint overflows survive one delete") {
+    val f = CuckooFilter.create(16) // tiny → force stash traffic
+    val keys = (0 until 600).map(url)
+    keys.foreach(f.insert)
+    // delete half the keys; every remaining key must still be contained
+    val (gone, kept) = keys.splitAt(300)
+    gone.foreach(k => assert(f.delete(k)))
+    kept.foreach(k => assert(f.mightContain(k), k))
   }
 }

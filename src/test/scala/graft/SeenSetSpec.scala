@@ -35,12 +35,19 @@ class SeenSetSpec extends AnyFunSuite {
     assert(want.size == 10000)
   }
 
-  test("bloomDedup crawl is result-identical to exact-only crawl") {
+  test("bloomDedup crawl is result-identical to exact-only crawl " +
+      "and never rebuilds the sketch per wave") {
     val pages = SiteFixtures.pagesDf(spark).cache()
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
       parserId = "quotes", maxWaves = 20)
     val exact = CrawlJob.run(spark, spec, pages)
+    SeenSet.fullBuilds.set(0)
     val bloom = CrawlJob.run(spark, spec.copy(bloomDedup = true), pages)
+    // incremental maintenance: bootstrap + at most a couple of geometric
+    // regrowths — NOT one full-seen rebuild per wave (the round-3
+    // scale-killer; this crawl runs ~12 populated waves)
+    assert(SeenSet.fullBuilds.get() <= 3,
+      s"bloom rebuilt ${SeenSet.fullBuilds.get()} times over ${bloom.waves} waves")
     def recs(r: CrawlJob.CrawlResult) =
       r.records.orderBy(col("wave"), col("rank"), col("seq"))
         .select("json").collect().map(_.getString(0)).toSeq
@@ -49,17 +56,34 @@ class SeenSetSpec extends AnyFunSuite {
       exact.seen.collect().map(_.getString(0)).toSet)
   }
 
-  test("cuckooDedup crawl is result-identical to exact-only crawl") {
+  test("cuckooDedup crawl is result-identical to exact-only crawl " +
+      "and never rebuilds the shard table per wave") {
     val pages = SiteFixtures.pagesDf(spark).cache()
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
       parserId = "quotes", maxWaves = 20)
     val exact = CrawlJob.run(spark, spec, pages)
+    SeenSet.fullBuilds.set(0)
     val cuckoo = CrawlJob.run(spark, spec.copy(cuckooDedup = true), pages)
+    assert(SeenSet.fullBuilds.get() <= 3,
+      s"cuckoo rebuilt ${SeenSet.fullBuilds.get()} times over ${cuckoo.waves} waves")
     def recs(r: CrawlJob.CrawlResult) =
       r.records.orderBy(col("wave"), col("rank"), col("seq"))
         .select("json").collect().map(_.getString(0)).toSeq
     assert(recs(cuckoo) == recs(exact))
     assert(cuckoo.seen.collect().map(_.getString(0)).toSet ==
       exact.seen.collect().map(_.getString(0)).toSet)
+  }
+
+  test("mergeIncrement equals full rebuild membership (associative bit-or)") {
+    val base = (0 until 10000).map(i => s"http://h.example.com/a/$i").toDF("url")
+    val inc = (0 until 5000).map(i => s"http://h.example.com/b/$i").toDF("url")
+    val st0 = SeenSet.buildState(base, 10000)
+    val st1 = SeenSet.mergeIncrement(st0, inc, 5000)
+    assert(st1.count == 15000)
+    // no false negatives across BOTH halves after the in-place merge
+    (0 until 10000).foreach(i =>
+      assert(st1.bloom.mightContain(s"http://h.example.com/a/$i")))
+    (0 until 5000).foreach(i =>
+      assert(st1.bloom.mightContain(s"http://h.example.com/b/$i")))
   }
 }
