@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import java.time.Instant
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
@@ -66,24 +66,9 @@ object CrawlJob {
 
   private val RedirectStatuses = Seq(301, 302, 303, 307, 308)
 
-  /** Simple robots.txt parser: Disallow prefixes in the `User-agent: *`
-    * group (the subset the reference's robotstxt lib exercises in its test,
-    * geziyor_test.go:331-339). Empty Disallow = allow-all.
-    */
-  def parseRobots(body: String): Seq[String] = {
-    var inStar = false
-    val out = Seq.newBuilder[String]
-    body.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
-      val lower = line.toLowerCase
-      if (lower.startsWith("user-agent:"))
-        inStar = line.substring("user-agent:".length).trim == "*"
-      else if (inStar && lower.startsWith("disallow:")) {
-        val p = line.substring("disallow:".length).trim
-        if (p.nonEmpty) out += p
-      }
-    }
-    out.result()
-  }
+  // robots.txt parsing + matching lives in RobotsRules (full
+  // temoto/robotstxt semantics: per-agent groups, Allow longest-match
+  // precedence, `*`/`$` wildcards, FromStatusAndBytes status mapping).
 
   /** Deterministic per-(url, wave) politeness delay in ms
     * (middleware/delay.go:20-24: uniform in [0.5d, 1.5d) when randomized).
@@ -140,7 +125,8 @@ object CrawlJob {
     val emptyRecords = Seq.empty[(Int, Long, Int, String)]
       .toDF("wave", "rank", "seq", "json")
     val emptyOrder = Seq.empty[(Int, Long, String)].toDF("wave", "rank", "url")
-    val emptyRules = Seq.empty[(String, Seq[String])].toDF("r_host", "prefixes")
+    val emptyRules = Seq.empty[(String, Seq[RobotsRules.Rule])]
+      .toDF("r_host", "rules")
     val emptyCookies = Seq.empty[(String, String, String, Int)]
       .toDF("c_host", "c_name", "c_cookie", "c_wave")
     val emptyFrontier = Seq
@@ -155,7 +141,7 @@ object CrawlJob {
     var records = emptyRecords
     var audit = emptyAudit
     var order = emptyOrder
-    var robotRules = emptyRules // (r_host, prefixes) for hosts seen so far
+    var robotRules = emptyRules // (r_host, rules) for hosts seen so far
     var cookieJar = emptyCookies // (c_host, c_cookie) accumulated Set-Cookies
     var cookieJarNonEmpty = false
 
@@ -433,16 +419,24 @@ object CrawlJob {
           val hits = corpus
             .join(broadcast(newHosts), col("p_url") === col("robots_url"))
             .select(col("host").as("h_hit"),
-              when(col("p_status") === 200, col("p_html")).as("body"))
-          val parseRobotsU = udf((b: Array[Byte]) =>
-            if (b == null) Seq.empty[String]
-            else parseRobots(new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+              col("p_status").as("r_status"), col("p_html").as("r_body"))
+          // FromStatusAndBytes semantics honoring the crawl's UA: 2xx →
+          // parse groups + select the UA's group; 4xx / no page → allow-all
+          // (empty rules); 5xx → disallow-all.
+          val specUa = spec.userAgent
+          val parseRobotsU = udf((status: java.lang.Integer, b: Array[Byte]) =>
+            if (status == null) Seq.empty[RobotsRules.Rule]
+            else RobotsRules.fromStatus(status.intValue(),
+              if (b == null) ""
+              else new String(b, java.nio.charset.StandardCharsets.UTF_8),
+              specUa))
           // hits is ≤ |newHosts| rows → broadcast it back onto newHosts (a
           // single corpus scan feeds both the hit bodies and, via the left
           // join's nulls, the no-robots-page allow-all rows)
           val newRules = newHosts
             .join(broadcast(hits), col("host") === col("h_hit"), "left")
-            .select(col("host").as("r_host"), parseRobotsU(col("body")).as("prefixes"))
+            .select(col("host").as("r_host"),
+              parseRobotsU(col("r_status"), col("r_body")).as("rules"))
           robotRules = robotRules.union(newRules).localCheckpoint(true)
         }
 
@@ -452,16 +446,20 @@ object CrawlJob {
         val (robotsOk, robotsBlocked) =
           if (spec.robotsTxtDisabled) (granted2, emptyFrontier)
           else {
-            val isBlocked = udf((path: String, prefixes: Seq[String]) =>
-              prefixes != null && prefixes.exists(path.startsWith))
+            // full-REP gate: longest-match over the UA-selected group's
+            // Allow/Disallow rules (wildcards + end anchors) — see
+            // RobotsRules.allowedRows
+            val isBlocked = udf((path: String, rules: Seq[Row]) =>
+              rules != null && rules.nonEmpty &&
+                !RobotsRules.allowedRows(path, rules))
             val j = granted2.join(broadcast(robotRules),
               col("host") === col("r_host"), "left")
             (j.filter(col("is_retry") ||
-                !isBlocked(col("path"), col("prefixes")))
-               .drop("r_host", "prefixes"),
+                !isBlocked(col("path"), col("rules")))
+               .drop("r_host", "rules"),
              j.filter(!col("is_retry") &&
-                isBlocked(col("path"), col("prefixes")))
-               .drop("r_host", "prefixes"))
+                isBlocked(col("path"), col("rules")))
+               .drop("r_host", "rules"))
           }
 
         auditInc += (robotsBlocked.select(col("wave"), lit("robots_forbidden"),

@@ -572,11 +572,71 @@ object CrawlQueries {
       """SELECT 'HTTP://' || UPPER(host) || ':80/./' || SUBSTR(path, 2)
         |  || '#frag' AS raw, url AS canonical FROM frontier""".stripMargin))
 
+  /** Full robots.txt matching (q47): per-agent groups, Allow longest-match
+    * precedence, `*`/`$` wildcards, agent selection by longest UA prefix —
+    * the temoto/robotstxt semantics behind middleware/robotstxt.go:63
+    * (`TestAgent(path, UserAgent)`), which q08's prefix face under-models.
+    * Self-proving oracle (the q46 pattern): each host's robots BODY is
+    * assembled from a fixed template; the Spark side runs the REAL parser +
+    * matcher (RobotsRules) for two agents — the default UA (selects the
+    * `*` group) and "googlebot-images" (selects the `googlebot` group via
+    * longest-prefix agent match) — while the oracle predicts both decisions
+    * arithmetically from the path:
+    *   *-group: `Allow: /p/1$` beats `Disallow: /p/1` only on the exact
+    *   path; `Allow: /p/3*7` (wildcard, longer) beats `Disallow: /p/3`;
+    *   even-numbered hosts add `Disallow: /p/5`.
+    *   googlebot-group: only `Disallow: /p/2`.
+    * Scale: rules parse once per distinct host body (per-partition memo);
+    * the gate itself is the broadcast-join + UDF shape CrawlJob uses.
+    */
+  val qRobotsFull = Q(
+    "q47_robots_full",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val f = v(s, dir)("frontier")
+        .select(col("url"), col("host"), col("path"), col("rank"))
+      val hostnum = expr("CAST(SUBSTRING(path, 4) AS BIGINT) % 97")
+      val body = concat(
+        lit("User-agent: googlebot\nDisallow: /p/2\n\n" +
+          "User-agent: *\nAllow: /p/1$\nDisallow: /p/1\n" +
+          "Allow: /p/3*7\nDisallow: /p/3"),
+        when(hostnum % 2 === 0, lit("\nDisallow: /p/5")).otherwise(lit("")))
+      val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        Encoders.STRING, Encoders.STRING)
+      val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        Encoders.scalaBoolean, Encoders.scalaBoolean)
+      f.withColumn("robots_body", body)
+        .select(col("rank"), col("path"), col("url"), col("robots_body"))
+        .as(enc)
+        .mapPartitions { it =>
+          val memo = scala.collection.mutable.HashMap
+            .empty[(String, String), Seq[graft.pipeline.RobotsRules.Rule]]
+          def rules(b: String, ua: String) =
+            memo.getOrElseUpdate((b, ua), graft.pipeline.RobotsRules.parse(b, ua))
+          it.map { case (rank, path, url, b) =>
+            (rank, url,
+              graft.pipeline.RobotsRules.allowed(path,
+                rules(b, CrawlSpec.DefaultUserAgent)),
+              graft.pipeline.RobotsRules.allowed(path,
+                rules(b, "googlebot-images")))
+          }
+        }(outEnc)
+        .toDF("rank", "url", "allowed_star", "allowed_googlebot")
+    },
+    Some(cte("frontier") +
+      """SELECT rank, url,
+        |  NOT ( (path LIKE '/p/1%' AND path <> '/p/1')
+        |     OR (path LIKE '/p/3%' AND NOT (path LIKE '/p/3%7%'))
+        |     OR (CAST(SUBSTRING(path, 4) AS BIGINT) % 97 % 2 = 0
+        |         AND path LIKE '/p/5%') ) AS allowed_star,
+        |  NOT (path LIKE '/p/2%') AS allowed_googlebot
+        |FROM frontier""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
     qRobotsForbidden, qRetryRequeue, qRedirectResolve, qMetricsStatus,
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
-    qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical)
+    qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull)
 }

@@ -37,7 +37,7 @@ object ReferenceSimulator {
     val records = mutable.ArrayBuffer.empty[String]
     val order = mutable.ArrayBuffer.empty[(Int, String)]
     val audit = mutable.Map.empty[String, Int].withDefaultValue(0)
-    val robotRules = mutable.Map.empty[String, Seq[String]]
+    val robotRules = mutable.Map.empty[String, Seq[graft.pipeline.RobotsRules.Rule]]
 
     def allowed(host: String) =
       spec.allowedDomains.isEmpty || spec.allowedDomains.contains(host)
@@ -89,11 +89,11 @@ object ReferenceSimulator {
         val blocked = !spec.robotsTxtDisabled && !r.isRetry && {
           val rules = robotRules.getOrElseUpdate(r.host,
             pages.get(s"http://${r.host}/robots.txt")
-              .filter(_.status == 200)
-              .map(p => graft.pipeline.CrawlJob.parseRobots(
-                new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
+              .map(p => graft.pipeline.RobotsRules.fromStatus(p.status,
+                new String(p.html, java.nio.charset.StandardCharsets.UTF_8),
+                spec.userAgent))
               .getOrElse(Seq.empty))
-          rules.exists(r.path.startsWith)
+          !graft.pipeline.RobotsRules.allowed(r.path, rules)
         }
         if (blocked) audit("robots_forbidden") += 1
         else {
