@@ -244,6 +244,33 @@ object SiteFixtures {
         "<html><body><p>end</p></body></html>", null))
   }
 
+  /** RFC 6265 attribute site (net/http/cookiejar semantics the reference
+    * inherits; round-3 verdict item 2): Path scoping, Max-Age expiry at the
+    * wave clock, Max-Age=0 eviction.
+    *  /start          sets scoped=s1; Path=/private → links a (private), b (public)
+    *  /private/a      carries scoped; sets short=v; Max-Age=1 (dies in 1 wave-sec)
+    *  /public/b       carries NOTHING (path-scoped out)
+    *  /private/c      carries scoped only (short expired); Max-Age=0 EVICTS scoped
+    *  /private/d      carries nothing (scoped evicted)
+    */
+  def rfc6265Pages: Seq[Page] = {
+    def p(url: String, body: String, ck: String = null) = {
+      val html = s"<html><body>$body</body></html>"
+      Page(url, ts(820), html.getBytes(StandardCharsets.UTF_8), html, "en",
+        200, "text/html; charset=utf-8", null, setCookie = ck)
+    }
+    Seq(
+      p("http://ck.example.com/start",
+        "<a href=\"/private/a\">a</a><a href=\"/public/b\">b</a>",
+        "scoped=s1; Path=/private"),
+      p("http://ck.example.com/private/a",
+        "<a href=\"/private/c\">c</a>", "short=v; Max-Age=1"),
+      p("http://ck.example.com/public/b", "<p>pub</p>"),
+      p("http://ck.example.com/private/c",
+        "<a href=\"/private/d\">d</a>", "scoped=x; Max-Age=0; Path=/private"),
+      p("http://ck.example.com/private/d", "<p>end</p>"))
+  }
+
   /** JS-rendered site (client/client.go:171-247 GetRendered): the raw html
     * is an empty SPA shell with no links; the `text` column carries the
     * post-JS rendered DOM (link + content). Plain fetch sees the shell;
@@ -266,7 +293,8 @@ object SiteFixtures {
 
   def allPages: Seq[Page] =
     quotesPages ++ booksPages ++ megaPages ++ redirectPages ++ flakyPages ++
-      charsetPages ++ cookiePages ++ jsPages ++ securePages ++ rotatePages
+      charsetPages ++ cookiePages ++ jsPages ++ securePages ++ rotatePages ++
+      rfc6265Pages
 
   /** The corpus as a DataFrame in the BASELINE input_hint shape
     * `pages(url, warc_ts, html, text, lang)` + fetch-semantics meta columns

@@ -127,8 +127,12 @@ object CrawlJob {
     val emptyOrder = Seq.empty[(Int, Long, String)].toDF("wave", "rank", "url")
     val emptyRules = Seq.empty[(String, Seq[RobotsRules.Rule])]
       .toDF("r_host", "rules")
-    val emptyCookies = Seq.empty[(String, String, String, Int)]
-      .toDF("c_host", "c_name", "c_cookie", "c_wave")
+    // RFC 6265 jar: keyed by (host, name, path); value + Secure flag +
+    // absolute expiry epoch (-1 = session cookie) + receipt wave
+    val emptyCookies =
+      Seq.empty[(String, String, String, String, Boolean, Long, Int)]
+        .toDF("c_host", "c_name", "c_path", "c_value", "c_secure",
+          "c_expires", "c_wave")
     val emptyFrontier = Seq
       .empty[(String, String, String, Int, String, Map[String, String], Int, Int, Int, Long, String, Boolean)]
       .toDF("url", "host", "path", "depth", "method", "meta", "retry",
@@ -178,11 +182,13 @@ object CrawlJob {
           .getOrElse(emptyOrder)
         if (StateStore.hasTable(dir, w, "cookies")) {
           cookieJar = StateStore.read(spark, dir, w, "cookies")
-          if (!cookieJar.columns.contains("c_name"))
+          if (!cookieJar.columns.contains("c_name") ||
+              !cookieJar.columns.contains("c_path"))
             throw new IllegalStateException(
-              s"checkpoint at $dir wave=$w has a legacy 2-column cookies " +
-                "snapshot (pre-(host,name)-keyed jar); resuming would fail " +
-                "downstream — restart the crawl or migrate the snapshot")
+              s"checkpoint at $dir wave=$w has a legacy cookies snapshot " +
+                "(pre-RFC6265 jar without (host, name, path) keys); " +
+                "resuming would fail downstream — restart the crawl or " +
+                "migrate the snapshot")
           cookieJarNonEmpty = !cookieJar.isEmpty
         }
         startWave = w + 1
@@ -469,24 +475,37 @@ object CrawlJob {
         // (client/client.go:250-272 — the http.Client jar; corpus-mode: the
         // Cookie header the request would carry is exposed to parsers as
         // meta("cookie"), and Set-Cookie responses feed the jar below)
+        // Deterministic wave clock for cookie expiry (the RFC2616 fake-clock
+        // pattern): receipt/expiry arithmetic is reproducible across runs.
+        val waveNowEpoch =
+          spec.cacheNowEpochSec + wave.toLong * spec.waveIntervalMs / 1000L
         val withCookies =
           if (!cookiesActive || !cookieJarNonEmpty) robotsOk
           else {
-            // one cookie per (host, name) — jar replacement already applied
-            // at accumulation; header lists cookies name-sorted
-            // (deterministic corpus-mode analog of jar order)
-            val hdr = cookieJar.groupBy(col("c_host"))
-              .agg(concat_ws("; ", transform(
-                sort_array(collect_list(struct(col("c_name"), col("c_cookie")))),
-                s => s.getField("c_cookie"))).as("cookie_hdr"))
-            robotsOk.join(broadcast(hdr), col("host") === col("c_host"), "left")
+            // one row per host with its jar entries; the header UDF applies
+            // the RFC filters per request (path-match, Secure on https only,
+            // unexpired at the wave clock) and emits name-sorted name=value
+            // pairs — replacement was already applied at accumulation
+            val jarAgg = cookieJar.groupBy(col("c_host"))
+              .agg(collect_list(struct(col("c_name"), col("c_path"),
+                col("c_value"), col("c_secure"), col("c_expires"))).as("jar"))
+            val headerU = udf((url: String, path: String, jar: Seq[Row]) =>
+              Cookies.header(url, path, waveNowEpoch, jar))
+            robotsOk.join(broadcast(jarAgg), col("host") === col("c_host"), "left")
+              .withColumn("cookie_hdr",
+                headerU(col("url"), col("path"), col("jar")))
               .withColumn("meta",
                 when(col("cookie_hdr").isNotNull,
                   map_concat(
                     map_filter(col("meta"), (k, _) => k =!= "cookie"),
                     map(lit("cookie"), col("cookie_hdr"))))
-                  .otherwise(col("meta")))
-              .drop("c_host", "cookie_hdr")
+                  // no applicable cookie → STRIP any cookie inherited via
+                  // meta propagation from the parent (the jar, not the
+                  // parent's request, owns the Cookie header; custom
+                  // middlewares still inject later in the chain)
+                  .otherwise(
+                    map_filter(col("meta"), (k, _) => k =!= "cookie")))
+              .drop("c_host", "cookie_hdr", "jar")
           }
 
         // ---- custom request middlewares (geziyor.go:128-130: appended
@@ -650,25 +669,33 @@ object CrawlJob {
             lit(s"stopped after ${spec.maxRedirect} redirects")))
 
         // ---- cookie jar: accumulate Set-Cookie responses ------------------
-        // Jar REPLACEMENT semantics (net/http CookieJar via
-        // client/client.go:250-272): a Set-Cookie whose name matches an
-        // existing jar entry for the host replaces it — the jar is keyed by
-        // (host, cookie_name), latest wave wins (ties broken by max value
-        // for determinism).
+        // RFC 6265 jar semantics (net/http CookieJar via
+        // client/client.go:250-272): parse attributes (Path with §5.1.4
+        // default, Max-Age over Expires, Secure), key by (host, name, path),
+        // latest wave replaces (ties broken by max value for determinism);
+        // Max-Age ≤ 0 / past Expires is an EVICTION of the keyed cookie.
         if (cookiesActive) {
+          val parseCkU = udf((setCookie: String, path: String) =>
+            Cookies.parse(setCookie, path, waveNowEpoch))
           val newCk = fetched.filter(col("p_setck").isNotNull)
             .select(col("host").as("c_host"),
-              trim(substring_index(substring_index(col("p_setck"), ";", 1),
-                "=", 1)).as("c_name"),
-              col("p_setck").as("c_cookie"),
+              parseCkU(col("p_setck"), col("path")).as("ck"),
               lit(wave).as("c_wave"))
+            .filter(col("ck").isNotNull)
+            .select(col("c_host"),
+              col("ck.name").as("c_name"), col("ck.path").as("c_path"),
+              col("ck.value").as("c_value"), col("ck.secure").as("c_secure"),
+              col("ck.expiresAt").as("c_expires"),
+              col("ck.remove").as("c_remove"), col("c_wave"))
             .distinct()
           if (!newCk.isEmpty) {
-            val merged = cookieJar.unionByName(newCk)
+            val merged = cookieJar.withColumn("c_remove", lit(false))
+              .unionByName(newCk)
               .withColumn("rn", row_number().over(
-                Window.partitionBy(col("c_host"), col("c_name"))
-                  .orderBy(col("c_wave").desc, col("c_cookie").desc)))
-              .filter(col("rn") === 1).drop("rn")
+                Window.partitionBy(col("c_host"), col("c_name"), col("c_path"))
+                  .orderBy(col("c_wave").desc, col("c_value").desc)))
+              .filter(col("rn") === 1 && !col("c_remove"))
+              .drop("rn", "c_remove")
             cookieJar = merged.localCheckpoint(true)
             cookieJarNonEmpty = true
           }

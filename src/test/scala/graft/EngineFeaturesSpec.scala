@@ -40,6 +40,26 @@ class EngineFeaturesSpec extends AnyFunSuite {
       """{"cookie":"session=tok42","url":"http://cookie.example.com/private"}""")
   }
 
+  test("RFC 6265: Path scoping, Max-Age expiry at the wave clock, " +
+      "Max-Age=0 eviction") {
+    val spec = CrawlSpec(startUrls = Seq("http://ck.example.com/start"),
+      parserId = "cookie_echo", hostTokensPerWave = 10, maxWaves = 8)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val byUrl = recordSeq(res).map { r =>
+      val url = r.split("\"url\":\"")(1).stripSuffix("\"}")
+      val ck = r.split("\"cookie\":\"")(1).split("\"")(0)
+      url -> ck
+    }.toMap
+    assert(byUrl("http://ck.example.com/start") == "")
+    // Path=/private scopes the cookie: /private/* carries it, /public never
+    assert(byUrl("http://ck.example.com/private/a") == "scoped=s1")
+    assert(byUrl("http://ck.example.com/public/b") == "")
+    // short=v (Max-Age=1, received on the /private/a wave) is expired one
+    // wave-second later; scoped survives until its Max-Age=0 eviction
+    assert(byUrl("http://ck.example.com/private/c") == "scoped=s1")
+    assert(byUrl("http://ck.example.com/private/d") == "")
+  }
+
   test("cookiesDisabled: no cookie ever applied (geziyor_test.go:269-288)") {
     val spec = CrawlSpec(startUrls = Seq("http://cookie.example.com/login"),
       parserId = "cookie_echo", cookiesDisabled = true, maxWaves = 5)
