@@ -168,7 +168,26 @@ object SiteFixtures {
           html.getBytes(StandardCharsets.UTF_8), html, "en", 200,
           "text/html; charset=utf-8", null)
       }
-    chain("chain1", 1) ++ chain("chain10", 10) ++ chain("chain11", 11)
+    chain("chain1", 1) ++ chain("chain10", 10) ++ chain("chain11", 11) ++ {
+      // POST-through-redirect faces (Go http.Client semantics behind
+      // client/client.go:303-311): 302 rewrites POST→GET + drops the body,
+      // 307 preserves both.
+      def target(name: String) = {
+        val html = s"<html><body><p>$name</p></body></html>"
+        Page(s"http://redirect.example.com/$name", ts(310),
+          html.getBytes(StandardCharsets.UTF_8), html, "en", 200,
+          "text/html; charset=utf-8", null)
+      }
+      Seq(
+        Page("http://redirect.example.com/form302", ts(310),
+          Array.emptyByteArray, "", "en", 302,
+          "text/html", "http://redirect.example.com/submitted302"),
+        target("submitted302"),
+        Page("http://redirect.example.com/form307", ts(310),
+          Array.emptyByteArray, "", "en", 307,
+          "text/html", "http://redirect.example.com/submitted307"),
+        target("submitted307"))
+    }
   }
 
   def flakyPages: Seq[Page] = Seq(

@@ -602,12 +602,31 @@ object CrawlJob {
           fetched = fetched.unionByName(finals)
           pending =
             if (hop == spec.maxRedirect) pending.limit(0)
-            else j.filter(isRedir)
-              .withColumn("cur_url", col("p_loc"))
-              .withColumn("hops", col("hops") + 1)
-              .drop("p_status", "p_ct", "p_html", "p_text", "p_setck",
-                "p_etag", "p_lastmod", "p_latency", "p_loc")
-              .localCheckpoint(true)
+            else {
+              // Go http.Client redirect semantics (behind the reference's
+              // client/client.go:303-311): 301/302/303 rewrite a non-GET/
+              // HEAD method to GET and DROP the request body; 307/308
+              // preserve method + body through the hop.
+              val rewrite = col("p_status").isin(301, 302, 303) &&
+                col("method") =!= "GET" && col("method") =!= "HEAD"
+              j.filter(isRedir)
+                // evaluate the rewrite predicate ONCE against the original
+                // method (the method withColumn below would otherwise feed
+                // the already-rewritten GET into the meta step's predicate)
+                .withColumn("mrw", rewrite)
+                .withColumn("method",
+                  when(col("mrw"), lit("GET")).otherwise(col("method")))
+                .withColumn("meta",
+                  when(col("mrw"),
+                    map_filter(col("meta"), (k, _) => k =!= "body"))
+                    .otherwise(col("meta")))
+                .drop("mrw")
+                .withColumn("cur_url", col("p_loc"))
+                .withColumn("hops", col("hops") + 1)
+                .drop("p_status", "p_ct", "p_html", "p_text", "p_setck",
+                  "p_etag", "p_lastmod", "p_latency", "p_loc")
+                .localCheckpoint(true)
+            }
           hop += 1
         }
         tMark = dbg("order+metrics+lineage", tMark)

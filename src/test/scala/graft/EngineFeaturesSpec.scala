@@ -89,6 +89,35 @@ class EngineFeaturesSpec extends AnyFunSuite {
     assert(recs(2).contains("\"cookie\":\"session=b\""))
   }
 
+  test("redirect method rewrite: 302 POST→GET drops body, 307 preserves") {
+    import spark.implicits._
+    val echo = new graft.pipeline.Parser {
+      val id = "redir_echo"
+      def parse(url: String, html: String, isHtml: Boolean,
+          meta: Map[String, String]): graft.pipeline.ParseOutput =
+        graft.pipeline.ParseOutput(
+          Seq(s"""{"u":"$url","b":"${meta.getOrElse("body", "")}"}"""), Nil)
+    }
+    val seeds = Seq(
+      ("http://redirect.example.com/form302", "POST", "x=1"),
+      ("http://redirect.example.com/form307", "POST", "x=1")
+    ).toDF("url", "method", "body")
+    val spec = CrawlSpec(startUrls = Nil, parserId = "redir_echo", maxWaves = 2)
+    val res = CrawlJob.run(spark, spec, pagesDf,
+      parsers = graft.pipeline.Parsers.registry + ("redir_echo" -> echo),
+      seedsDf = Some(seeds))
+    val recs = recordSeq(res)
+    // 302: body dropped through the hop; 307: body preserved
+    assert(recs.contains("""{"u":"http://redirect.example.com/submitted302","b":""}"""))
+    assert(recs.contains("""{"u":"http://redirect.example.com/submitted307","b":"x=1"}"""))
+    // audit method column reflects the rewritten request method
+    val methods = res.audit.filter(col("kind") === "crawled")
+      .select(col("url"), col("method")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(methods("http://redirect.example.com/form302") == "GET")
+    assert(methods("http://redirect.example.com/form307") == "POST")
+  }
+
   test("Post/Head seed faces: body meta delivered, non-GET never deduped") {
     import spark.implicits._
     // geziyor.go:200-217 (Head/Post helpers): seeds may carry a method and
