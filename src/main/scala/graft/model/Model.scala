@@ -136,7 +136,13 @@ final case class CrawlSpec(
     // "off" | "rfc2616" (cache/cache.go:182-301 RoundTripRFC2616). The
     // decision clock is injectable for determinism (cache_test.go:24-30).
     cachePolicy: String = "off",
-    cacheNowEpochSec: Long = 0L
+    cacheNowEpochSec: Long = 0L,
+    // Metrics exposition (options.go:67 MetricsType; metrics/metrics.go:
+    // 14-25,100-115): "discard" (default) | "prometheus" (localhost server
+    // with /metrics + /debug/vars) | "expvar" (/debug/vars only). The
+    // server re-renders the LIVE counter table per scrape during the crawl.
+    metricsType: String = "discard",
+    metricsPort: Int = 2112
 )
 
 object CrawlSpec {

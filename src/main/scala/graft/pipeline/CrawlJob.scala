@@ -312,9 +312,21 @@ object CrawlJob {
       t
     }
 
+    // live counter snapshot — re-rendered per scrape by the metrics
+    // endpoint (metrics/metrics.go:100-115) and reused for the final
+    // CrawlResult.metrics table
+    def liveMetrics(): DataFrame = {
+      val auditMetrics = audit.groupBy(col("wave"), col("kind").as("metric"))
+        .agg(count(lit(1)).as("value"))
+      auditMetrics.union(metricsBuf.toSeq.toDF("wave", "metric", "value"))
+    }
+    val metricsServer = graft.metrics.MetricsServer.start(
+      spec.metricsType, () => liveMetrics(), spec.metricsPort)
+
     var wave = startWave
     var done = false
     frontier = frontier.localCheckpoint(true)
+    try {
     while (!done && wave < spec.maxWaves) {
       if (frontier.isEmpty) { done = true }
       else {
@@ -1025,11 +1037,9 @@ object CrawlJob {
     persisted.foreach(_.unpersist())
     bloomBc.foreach(_.destroy())
 
-    val auditMetrics = audit.groupBy(col("wave"), col("kind").as("metric"))
-      .agg(count(lit(1)).as("value"))
-    val metrics = auditMetrics.union(
-      metricsBuf.toSeq.toDF("wave", "metric", "value"))
+    val metrics = liveMetrics()
     val lineage = lineageBuf.toSeq.toDF("wave", "partition_id", "n_rows")
     CrawlResult(records, audit, seen, order, metrics, lineage, wave)
+    } finally metricsServer.foreach(_.stop())
   }
 }

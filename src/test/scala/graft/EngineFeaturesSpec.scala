@@ -89,6 +89,49 @@ class EngineFeaturesSpec extends AnyFunSuite {
     assert(recs(2).contains("\"cookie\":\"session=b\""))
   }
 
+  test("metrics server: live /metrics + /debug/vars scraped DURING a crawl") {
+    // metrics/metrics.go:100-115 — Prometheus at /metrics, ExpVar at
+    // /debug/vars, served from the LIVE counters. A response middleware
+    // scrapes the localhost endpoint while waves are still running.
+    val scrapes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def get(u: String): String = {
+      val conn = new java.net.URL(u).openConnection()
+      val is = conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+    }
+    val port = 23112
+    val mw: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        scrapes += ((get(s"http://127.0.0.1:$port/metrics"),
+          get(s"http://127.0.0.1:$port/debug/vars")))
+        df
+      }
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 4,
+      metricsType = "prometheus", metricsPort = port)
+    CrawlJob.run(spark, spec, pagesDf, responseMiddlewares = Seq(mw))
+    assert(scrapes.nonEmpty)
+    // a scrape from a later wave sees wave-0's counters (1 seed crawled)
+    assert(scrapes.exists(_._1.contains(
+      """geziyorspark_crawled_total{wave="0"} 1""")))
+    assert(scrapes.exists(_._1.contains("# TYPE geziyorspark_crawled_total counter")))
+    assert(scrapes.exists(_._2.contains("\"crawled\":")))
+    // server stops with the crawl
+    assertThrows[java.io.IOException](get(s"http://127.0.0.1:$port/metrics"))
+    // expvar mode serves /debug/vars only
+    val spec2 = spec.copy(metricsType = "expvar", maxWaves = 2)
+    val scr2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mw2: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        scr2 += get(s"http://127.0.0.1:$port/debug/vars")
+        assertThrows[java.io.IOException](get(s"http://127.0.0.1:$port/metrics"))
+        df
+      }
+    CrawlJob.run(spark, spec2, pagesDf, responseMiddlewares = Seq(mw2))
+    assert(scr2.exists(_.contains("\"crawled\":")))
+  }
+
   test("redirect method rewrite: 302 POST→GET drops body, 307 preserves") {
     import spark.implicits._
     val echo = new graft.pipeline.Parser {
