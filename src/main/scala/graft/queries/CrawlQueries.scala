@@ -6,6 +6,11 @@ import org.apache.spark.sql.expressions.Window
 import graft.corpus.CorpusViews
 import graft.model.CrawlSpec
 
+/** q48's parsed-record row (6 fields — past Encoders.tuple's arity cap). */
+final case class WarcRow(
+    url: String, rec_idx: Int, warc_type: String, target_uri: String,
+    content_len: Long, payload_text: String)
+
 /** One named query + its DuckDB oracle (None → rows-only check). */
 final case class Q(
     name: String,
@@ -632,11 +637,65 @@ object CrawlQueries {
         |  NOT (path LIKE '/p/2%') AS allowed_googlebot
         |FROM frontier""".stripMargin))
 
+  /** WARC envelope parsing (q48): Common-Crawl's container format (ISO
+    * 28500) — the `warc_ts` column of the input_hint is the WARC-Date of
+    * exactly these records. Self-proving oracle (q46/q47 pattern): each
+    * page is wrapped into a TWO-record WARC buffer (response + metadata)
+    * by portable SQL; the Spark side runs the REAL byte-oriented parser
+    * (graft.warc.Warc — version line, case-insensitive CRLF headers,
+    * Content-Length-bounded payload, record-boundary scanning) and the
+    * oracle predicts every parsed field arithmetically. Scale: one
+    * narrow projection + per-partition streaming parse, no shuffle.
+    */
+  val qWarcParse = Q(
+    "q48_warc_parse",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      CorpusViews.register(s, dir)
+      val crlf = "chr(13) || chr(10)"
+      val buf = s.sql(
+        s"""SELECT url, CAST(
+           |  'WARC/1.0' || $crlf ||
+           |  'WARC-Type: response' || $crlf ||
+           |  'WARC-Target-URI: ' || url || $crlf ||
+           |  'WARC-Date: 1997-01-01T00:00:00Z' || $crlf ||
+           |  'Content-Length: ' || CAST(LENGTH(text) AS STRING) || $crlf ||
+           |  $crlf || text || $crlf || $crlf ||
+           |  'WARC/1.0' || $crlf ||
+           |  'WARC-Type: metadata' || $crlf ||
+           |  'WARC-Target-URI: ' || url || $crlf ||
+           |  'WARC-Date: 1997-01-01T00:00:00Z' || $crlf ||
+           |  'Content-Length: 11' || $crlf ||
+           |  $crlf || 'via:crawler' || $crlf || $crlf
+           |  AS BINARY) AS warc
+           |FROM pages""".stripMargin)
+      val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+      val outEnc = Encoders.product[WarcRow]
+      buf.as(enc).mapPartitions { it =>
+        it.flatMap { case (url, bytes) =>
+          graft.warc.Warc.parse(bytes).zipWithIndex.map { case (r, i) =>
+            WarcRow(url, i, r.warcType, r.targetUri, r.contentLength,
+              new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      }(outEnc).toDF()
+    },
+    Some(cte("pages") +
+      """SELECT url, CAST(0 AS INT) AS rec_idx, 'response' AS warc_type,
+        |  url AS target_uri, CAST(LENGTH(text) AS BIGINT) AS content_len,
+        |  text AS payload_text
+        |FROM pages
+        |UNION ALL
+        |SELECT url, CAST(1 AS INT), 'metadata', url, CAST(11 AS BIGINT),
+        |  'via:crawler'
+        |FROM pages""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
     qRobotsForbidden, qRetryRequeue, qRedirectResolve, qMetricsStatus,
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
-    qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull)
+    qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull,
+    qWarcParse)
 }

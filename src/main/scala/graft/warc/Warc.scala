@@ -1,0 +1,100 @@
+package graft.warc
+
+/** WARC (ISO 28500) envelope parsing — the container format Common-Crawl
+  * ships (the BASELINE input_hint's `warc_ts` column is the WARC-Date of
+  * exactly these records). The reference crawls live HTTP; a web-scale
+  * Spark pipeline ingests the same pages as WARC members, so the engine
+  * carries a real record parser: version line + CRLF header block +
+  * Content-Length-bounded payload + CRLF CRLF record separator, multiple
+  * records per buffer.
+  *
+  * Parsing is byte-oriented (payloads are arbitrary binary — only headers
+  * are ASCII per the spec); header names are case-insensitive. Malformed
+  * input returns the records parsed so far (a truncated tail record is
+  * dropped, never a crash — the pipeline's panic-recovery rule).
+  */
+object Warc {
+
+  final case class WarcRecord(
+      version: String,
+      warcType: String,
+      targetUri: String,
+      date: String,
+      contentLength: Long,
+      payload: Array[Byte])
+
+  private val CRLF = Seq[Byte](13, 10)
+
+  /** Index of the next CRLF at/after `from`, or -1. */
+  private def findCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == 13 && b(i + 1) == 10) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse every complete record in the buffer. */
+  def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    var ok = true
+    while (ok && pos < bytes.length) {
+      // skip inter-record CRLFs
+      while (pos + 1 < bytes.length && bytes(pos) == 13 && bytes(pos + 1) == 10)
+        pos += 2
+      if (pos >= bytes.length) ok = false
+      else {
+        // version line
+        val vEnd = findCrlf(bytes, pos)
+        if (vEnd < 0) ok = false
+        else {
+          val version = new String(bytes, pos, vEnd - pos, "US-ASCII")
+          if (!version.startsWith("WARC/")) ok = false
+          else {
+            var p = vEnd + 2
+            var warcType = ""
+            var targetUri = ""
+            var date = ""
+            var contentLength = -1L
+            // header block until blank line
+            var headersDone = false
+            while (!headersDone && ok) {
+              val hEnd = findCrlf(bytes, p)
+              if (hEnd < 0) ok = false
+              else if (hEnd == p) { headersDone = true; p += 2 }
+              else {
+                val line = new String(bytes, p, hEnd - p, "US-ASCII")
+                val colon = line.indexOf(':')
+                if (colon > 0) {
+                  val k = line.substring(0, colon).trim.toLowerCase
+                  val v = line.substring(colon + 1).trim
+                  k match {
+                    case "warc-type" => warcType = v
+                    case "warc-target-uri" => targetUri = v
+                    case "warc-date" => date = v
+                    case "content-length" =>
+                      try contentLength = v.toLong
+                      catch { case _: NumberFormatException => () }
+                    case _ => ()
+                  }
+                }
+                p = hEnd + 2
+              }
+            }
+            if (ok && contentLength >= 0 &&
+                p + contentLength <= bytes.length) {
+              val payload = java.util.Arrays.copyOfRange(
+                bytes, p, p + contentLength.toInt)
+              out += WarcRecord(version, warcType, targetUri, date,
+                contentLength, payload)
+              pos = p + contentLength.toInt
+            } else ok = false // truncated tail record: stop, keep parsed
+          }
+        }
+      }
+    }
+    out.result()
+  }
+}
