@@ -290,6 +290,31 @@ object SiteFixtures {
       p("http://ck.example.com/private/d", "<p>end</p>"))
   }
 
+  /** Domain-cookie site (RFC 6265 §5.1.3 via net/http/cookiejar):
+    *  a.dom2.example.com/start  sets site=s; Domain=dom2.example.com
+    *                            → links b.dom2…/x and dom2…/z
+    *  b.dom2.example.com/x      carries site (subdomain match); sets
+    *                            local=v (host-only) → links b.dom2…/y
+    *  dom2.example.com/z        carries site (domain == host)
+    *  b.dom2.example.com/y      carries local + site (name-sorted)
+    */
+  def domainCookiePages: Seq[Page] = {
+    def p(url: String, body: String, ck: String = null) = {
+      val html = s"<html><body>$body</body></html>"
+      Page(url, ts(830), html.getBytes(StandardCharsets.UTF_8), html, "en",
+        200, "text/html; charset=utf-8", null, setCookie = ck)
+    }
+    Seq(
+      p("http://a.dom2.example.com/start",
+        "<a href=\"http://b.dom2.example.com/x\">b</a>" +
+          "<a href=\"http://dom2.example.com/z\">z</a>",
+        "site=s; Domain=dom2.example.com"),
+      p("http://b.dom2.example.com/x",
+        "<a href=\"/y\">y</a>", "local=v"),
+      p("http://dom2.example.com/z", "<p>apex</p>"),
+      p("http://b.dom2.example.com/y", "<p>leaf</p>"))
+  }
+
   /** JS-rendered site (client/client.go:171-247 GetRendered): the raw html
     * is an empty SPA shell with no links; the `text` column carries the
     * post-JS rendered DOM (link + content). Plain fetch sees the shell;
@@ -313,7 +338,7 @@ object SiteFixtures {
   def allPages: Seq[Page] =
     quotesPages ++ booksPages ++ megaPages ++ redirectPages ++ flakyPages ++
       charsetPages ++ cookiePages ++ jsPages ++ securePages ++ rotatePages ++
-      rfc6265Pages
+      rfc6265Pages ++ domainCookiePages
 
   /** The corpus as a DataFrame in the BASELINE input_hint shape
     * `pages(url, warc_ts, html, text, lang)` + fetch-semantics meta columns

@@ -25,11 +25,21 @@ object Cookies {
   /** One parsed Set-Cookie. `expiresAt` is an absolute epoch-second bound
     * (from Max-Age relative to `nowEpoch`, else Expires), -1 = session
     * cookie (never expires in corpus mode). `remove=true` = eviction
-    * directive (Max-Age ≤ 0 or already-past Expires).
+    * directive (Max-Age ≤ 0 or already-past Expires). `domain` is the
+    * jar's key domain (the normalized Domain attribute, else the exact
+    * response host) and `hostOnly` records which of the two it was —
+    * host-only cookies go ONLY to that exact host, domain cookies to the
+    * domain and every subdomain (§5.1.3 domain-match).
     */
   final case class SetCookie(
-      name: String, value: String, path: String,
-      secure: Boolean, expiresAt: Long, remove: Boolean)
+      name: String, value: String, domain: String, hostOnly: Boolean,
+      path: String, secure: Boolean, expiresAt: Long, remove: Boolean)
+
+  /** §5.1.3 domain-match: request host H matches cookie domain D. */
+  private[graft] def domainMatches(host: String, domain: String,
+      hostOnly: Boolean): Boolean =
+    if (hostOnly) host == domain
+    else host == domain || host.endsWith("." + domain)
 
   /** §5.1.4 default-path: directory of the request path. */
   private[graft] def defaultPath(requestPath: String): String = {
@@ -51,9 +61,13 @@ object Cookies {
   private val httpDate = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
 
   /** Parse one Set-Cookie header. Unknown/invalid attributes are ignored
-    * (RFC lenience); an invalid name=value pair yields None.
+    * (RFC lenience); an invalid name=value pair yields None, as does a
+    * Domain attribute the response host doesn't domain-match (§5.3 step 6
+    * — Go's cookiejar rejects such cookies outright; no public-suffix list
+    * in corpus mode, documented).
     */
-  def parse(setCookie: String, requestPath: String, nowEpoch: Long): Option[SetCookie] = {
+  def parse(setCookie: String, requestHost: String, requestPath: String,
+      nowEpoch: Long): Option[SetCookie] = {
     if (setCookie == null) return None
     val parts = setCookie.split(";").toSeq.map(_.trim)
     if (parts.isEmpty || parts.head.isEmpty) return None
@@ -62,6 +76,7 @@ object Cookies {
     val name = parts.head.substring(0, eq).trim
     val value = parts.head.substring(eq + 1).trim
     var path: String = null
+    var domainAttr: String = null
     var secure = false
     var maxAge: Option[Long] = None
     var expires: Option[Long] = None
@@ -73,6 +88,9 @@ object Cookies {
       }
       k match {
         case "path" if v.nonEmpty && v.charAt(0) == '/' => path = v
+        case "domain" if v.nonEmpty =>
+          // §5.2.3: leading dot ignored, lowercased
+          domainAttr = v.stripPrefix(".").toLowerCase
         case "secure" => secure = true
         case "max-age" =>
           try maxAge = Some(v.toLong) catch { case _: NumberFormatException => () }
@@ -80,31 +98,43 @@ object Cookies {
           try expires = Some(
             java.time.ZonedDateTime.parse(v, httpDate).toEpochSecond)
           catch { case _: Exception => () }
-        case _ => () // Domain / HttpOnly / SameSite: no corpus-mode face
+        case _ => () // HttpOnly / SameSite: no corpus-mode face
       }
     }
+    // set-time validation: the response host must domain-match the
+    // attribute, else the whole cookie is rejected
+    val host = if (requestHost == null) "" else requestHost.toLowerCase
+    val (keyDomain, hostOnly) =
+      if (domainAttr == null) (host, true)
+      else if (host == domainAttr || host.endsWith("." + domainAttr))
+        (domainAttr, false)
+      else return None
     val cookiePath = if (path != null) path else defaultPath(requestPath)
     // Max-Age wins over Expires (§5.3 step 3)
     val expiresAt = maxAge.map(nowEpoch + _).orElse(expires).getOrElse(-1L)
     val remove = maxAge.exists(_ <= 0) || (expiresAt >= 0 && expiresAt <= nowEpoch)
-    Some(SetCookie(name, value, cookiePath, secure, expiresAt, remove))
+    Some(SetCookie(name, value, keyDomain, hostOnly, cookiePath, secure,
+      expiresAt, remove))
   }
 
-  /** Build the Cookie header for a request from the host's jar entries
-    * (structs of name, path, value, secure, expiresAt): RFC filters —
-    * path-match, secure-only-on-https, unexpired at the wave clock — then
-    * name-sorted `name=value` pairs (the jar's deterministic corpus-mode
-    * order). Null/empty result = no header.
+  /** Build the Cookie header for a request from jar entries (structs of
+    * name, domain, hostOnly, path, value, secure, expiresAt): RFC filters —
+    * domain-match (§5.1.3), path-match, secure-only-on-https, unexpired at
+    * the wave clock — then name-sorted `name=value` pairs (the jar's
+    * deterministic corpus-mode order). Null/empty result = no header.
     */
-  def header(url: String, requestPath: String, nowEpoch: Long,
-      jar: Seq[org.apache.spark.sql.Row]): String = {
+  def header(url: String, requestHost: String, requestPath: String,
+      nowEpoch: Long, jar: Seq[org.apache.spark.sql.Row]): String = {
     if (jar == null || jar.isEmpty) return null
     val https = url != null && url.startsWith("https://")
+    val host = if (requestHost == null) "" else requestHost.toLowerCase
     val applicable = jar.flatMap { r =>
-      val name = r.getString(0); val path = r.getString(1)
-      val value = r.getString(2); val secure = r.getBoolean(3)
-      val expiresAt = r.getLong(4)
-      val ok = pathMatches(requestPath, path) &&
+      val name = r.getString(0); val domain = r.getString(1)
+      val hostOnly = r.getBoolean(2); val path = r.getString(3)
+      val value = r.getString(4); val secure = r.getBoolean(5)
+      val expiresAt = r.getLong(6)
+      val ok = domainMatches(host, domain, hostOnly) &&
+        pathMatches(requestPath, path) &&
         (!secure || https) &&
         (expiresAt < 0 || expiresAt > nowEpoch)
       if (ok) Some((name, value)) else None

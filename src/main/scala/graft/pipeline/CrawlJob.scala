@@ -127,12 +127,14 @@ object CrawlJob {
     val emptyOrder = Seq.empty[(Int, Long, String)].toDF("wave", "rank", "url")
     val emptyRules = Seq.empty[(String, Seq[RobotsRules.Rule])]
       .toDF("r_host", "rules")
-    // RFC 6265 jar: keyed by (host, name, path); value + Secure flag +
-    // absolute expiry epoch (-1 = session cookie) + receipt wave
+    // RFC 6265 jar: keyed by (domain, name, path) — c_domain is the
+    // normalized Domain attribute (host-suffix matched at application) or
+    // the exact response host when absent (c_hostonly) — plus value,
+    // Secure flag, absolute expiry epoch (-1 = session) and receipt wave
     val emptyCookies =
-      Seq.empty[(String, String, String, String, Boolean, Long, Int)]
-        .toDF("c_host", "c_name", "c_path", "c_value", "c_secure",
-          "c_expires", "c_wave")
+      Seq.empty[(String, Boolean, String, String, String, Boolean, Long, Int)]
+        .toDF("c_domain", "c_hostonly", "c_name", "c_path", "c_value",
+          "c_secure", "c_expires", "c_wave")
     val emptyFrontier = Seq
       .empty[(String, String, String, Int, String, Map[String, String], Int, Int, Int, Long, String, Boolean)]
       .toDF("url", "host", "path", "depth", "method", "meta", "retry",
@@ -183,7 +185,8 @@ object CrawlJob {
         if (StateStore.hasTable(dir, w, "cookies")) {
           cookieJar = StateStore.read(spark, dir, w, "cookies")
           if (!cookieJar.columns.contains("c_name") ||
-              !cookieJar.columns.contains("c_path"))
+              !cookieJar.columns.contains("c_path") ||
+              !cookieJar.columns.contains("c_domain"))
             throw new IllegalStateException(
               s"checkpoint at $dir wave=$w has a legacy cookies snapshot " +
                 "(pre-RFC6265 jar without (host, name, path) keys); " +
@@ -494,18 +497,24 @@ object CrawlJob {
         val withCookies =
           if (!cookiesActive || !cookieJarNonEmpty) robotsOk
           else {
-            // one row per host with its jar entries; the header UDF applies
-            // the RFC filters per request (path-match, Secure on https only,
-            // unexpired at the wave clock) and emits name-sorted name=value
-            // pairs — replacement was already applied at accumulation
-            val jarAgg = cookieJar.groupBy(col("c_host"))
-              .agg(collect_list(struct(col("c_name"), col("c_path"),
-                col("c_value"), col("c_secure"), col("c_expires"))).as("jar"))
-            val headerU = udf((url: String, path: String, jar: Seq[Row]) =>
-              Cookies.header(url, path, waveNowEpoch, jar))
-            robotsOk.join(broadcast(jarAgg), col("host") === col("c_host"), "left")
+            // the WHOLE jar as one broadcast row (jars are per-host state,
+            // tiny next to the frontier); the header UDF applies the RFC
+            // filters per request (domain-match incl. subdomains for
+            // Domain cookies, path-match, Secure on https only, unexpired
+            // at the wave clock) and emits name-sorted name=value pairs —
+            // replacement was already applied at accumulation. A per-host
+            // equi-join can't express Domain cookies (one request host may
+            // match several key domains), hence the single-row broadcast.
+            val jarAgg = cookieJar
+              .agg(collect_list(struct(col("c_name"), col("c_domain"),
+                col("c_hostonly"), col("c_path"), col("c_value"),
+                col("c_secure"), col("c_expires"))).as("jar"))
+            val headerU = udf((url: String, host: String, path: String,
+                jar: Seq[Row]) =>
+              Cookies.header(url, host, path, waveNowEpoch, jar))
+            robotsOk.crossJoin(broadcast(jarAgg))
               .withColumn("cookie_hdr",
-                headerU(col("url"), col("path"), col("jar")))
+                headerU(col("url"), col("host"), col("path"), col("jar")))
               .withColumn("meta",
                 when(col("cookie_hdr").isNotNull,
                   map_concat(
@@ -517,7 +526,7 @@ object CrawlJob {
                   // middlewares still inject later in the chain)
                   .otherwise(
                     map_filter(col("meta"), (k, _) => k =!= "cookie")))
-              .drop("c_host", "cookie_hdr", "jar")
+              .drop("cookie_hdr", "jar")
           }
 
         // ---- custom request middlewares (geziyor.go:128-130: appended
@@ -706,14 +715,14 @@ object CrawlJob {
         // latest wave replaces (ties broken by max value for determinism);
         // Max-Age ≤ 0 / past Expires is an EVICTION of the keyed cookie.
         if (cookiesActive) {
-          val parseCkU = udf((setCookie: String, path: String) =>
-            Cookies.parse(setCookie, path, waveNowEpoch))
+          val parseCkU = udf((setCookie: String, host: String, path: String) =>
+            Cookies.parse(setCookie, host, path, waveNowEpoch))
           val newCk = fetched.filter(col("p_setck").isNotNull)
-            .select(col("host").as("c_host"),
-              parseCkU(col("p_setck"), col("path")).as("ck"),
+            .select(parseCkU(col("p_setck"), col("host"), col("path")).as("ck"),
               lit(wave).as("c_wave"))
             .filter(col("ck").isNotNull)
-            .select(col("c_host"),
+            .select(col("ck.domain").as("c_domain"),
+              col("ck.hostOnly").as("c_hostonly"),
               col("ck.name").as("c_name"), col("ck.path").as("c_path"),
               col("ck.value").as("c_value"), col("ck.secure").as("c_secure"),
               col("ck.expiresAt").as("c_expires"),
@@ -723,7 +732,7 @@ object CrawlJob {
             val merged = cookieJar.withColumn("c_remove", lit(false))
               .unionByName(newCk)
               .withColumn("rn", row_number().over(
-                Window.partitionBy(col("c_host"), col("c_name"), col("c_path"))
+                Window.partitionBy(col("c_domain"), col("c_name"), col("c_path"))
                   .orderBy(col("c_wave").desc, col("c_value").desc)))
               .filter(col("rn") === 1 && !col("c_remove"))
               .drop("rn", "c_remove")

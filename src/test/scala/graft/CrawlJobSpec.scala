@@ -8,6 +8,32 @@ import graft.pipeline.CrawlJob
 import graft.sinks.{JArr, JInt, JObj, JStr, Json}
 
 class CrawlJobSpec extends AnyFunSuite {
+  test("long crawls: seen plan width stays bounded (8-wave compaction)") {
+    // 40-wave chain crawl: page i links only to page i+1. Without the
+    // in-loop compaction (round-3 verdict item), `seen` would be a 40-way
+    // union through every wave's anti-join analysis; with compaction every
+    // 8 waves the final plan carries at most ~1 checkpoint + 8 increments.
+    val chain = (0 until 45).map { i =>
+      val html =
+        s"""<html><body><a href="/p/${i + 1}">n</a></body></html>"""
+      SiteFixtures.Page(s"http://chain.example.com/p/$i",
+        java.sql.Timestamp.valueOf("1997-01-01 00:00:00"),
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8), html, "en",
+        200, "text/html; charset=utf-8", null)
+    }
+    val spec = CrawlSpec(startUrls = Seq("http://chain.example.com/p/0"),
+      parserId = "all_links", maxWaves = 40)
+    val res = CrawlJob.run(spark, spec, SiteFixtures.pagesDf(spark, chain))
+    assert(res.waves == 40)
+    assert(seenSet(res).size == 41) // seed + 40 discoveries
+    def countUnions(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      plan.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.map(_.children.size).sum
+    val width = countUnions(res.seen.queryExecution.logical)
+    assert(width <= 12, s"seen union width $width — compaction regressed")
+  }
+
   private lazy val spark = SparkTestBase.spark
   private lazy val pagesDf = SiteFixtures.pagesDf(spark).cache()
   private lazy val pagesMap =

@@ -60,6 +60,23 @@ class EngineFeaturesSpec extends AnyFunSuite {
     assert(byUrl("http://ck.example.com/private/d") == "")
   }
 
+  test("RFC 6265 Domain: subdomain + apex match, host-only stays local") {
+    val spec = CrawlSpec(startUrls = Seq("http://a.dom2.example.com/start"),
+      parserId = "cookie_echo", hostTokensPerWave = 10, maxWaves = 8)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val byUrl = recordSeq(res).map { r =>
+      val url = r.split("\"url\":\"")(1).stripSuffix("\"}")
+      val ck = r.split("\"cookie\":\"")(1).split("\"")(0)
+      url -> ck
+    }.toMap
+    assert(byUrl("http://a.dom2.example.com/start") == "")
+    // the Domain cookie reaches the sibling subdomain AND the apex
+    assert(byUrl("http://b.dom2.example.com/x") == "site=s")
+    assert(byUrl("http://dom2.example.com/z") == "site=s")
+    // host-only local=v stays on b.dom2; both arrive name-sorted
+    assert(byUrl("http://b.dom2.example.com/y") == "local=v; site=s")
+  }
+
   test("cookiesDisabled: no cookie ever applied (geziyor_test.go:269-288)") {
     val spec = CrawlSpec(startUrls = Seq("http://cookie.example.com/login"),
       parserId = "cookie_echo", cookiesDisabled = true, maxWaves = 5)
