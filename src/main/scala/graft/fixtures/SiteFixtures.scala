@@ -290,6 +290,26 @@ object SiteFixtures {
       p("http://ck.example.com/private/d", "<p>end</p>"))
   }
 
+  /** Crawl-delay site: robots.txt sets `Crawl-delay: 0.5` for `*` → with
+    * waveIntervalMs=1000 and honorCrawlDelay, at most 2 grants/wave once
+    * the rules are fetched (the seed wave runs uncapped — lazy fetch).
+    */
+  def crawlDelayPages: Seq[Page] = {
+    def p(url: String, body: String, ct: String = "text/html; charset=utf-8") = {
+      val html =
+        if (ct.startsWith("text/html")) s"<html><body>$body</body></html>"
+        else body
+      Page(url, ts(840), html.getBytes(StandardCharsets.UTF_8), html, "en",
+        200, ct, null)
+    }
+    val links = (1 to 5).map(i => s"""<a href="/p$i">$i</a>""").mkString
+    Seq(
+      p("http://cd.example.com/robots.txt",
+        "User-agent: *\nCrawl-delay: 0.5\n", ct = "text/plain; charset=utf-8"),
+      p("http://cd.example.com/start", links)) ++
+      (1 to 5).map(i => p(s"http://cd.example.com/p$i", s"<p>page $i</p>"))
+  }
+
   /** Domain-cookie site (RFC 6265 §5.1.3 via net/http/cookiejar):
     *  a.dom2.example.com/start  sets site=s; Domain=dom2.example.com
     *                            → links b.dom2…/x and dom2…/z
@@ -338,7 +358,7 @@ object SiteFixtures {
   def allPages: Seq[Page] =
     quotesPages ++ booksPages ++ megaPages ++ redirectPages ++ flakyPages ++
       charsetPages ++ cookiePages ++ jsPages ++ securePages ++ rotatePages ++
-      rfc6265Pages ++ domainCookiePages
+      rfc6265Pages ++ domainCookiePages ++ crawlDelayPages
 
   /** The corpus as a DataFrame in the BASELINE input_hint shape
     * `pages(url, warc_ts, html, text, lang)` + fetch-semantics meta columns

@@ -142,7 +142,13 @@ final case class CrawlSpec(
     // with /metrics + /debug/vars) | "expvar" (/debug/vars only). The
     // server re-renders the LIVE counter table per scrape during the crawl.
     metricsType: String = "discard",
-    metricsPort: Int = 2112
+    metricsPort: Int = 2112,
+    // Honor robots Crawl-delay in the politeness stage (the reference's
+    // robots lib parses it — Group.CrawlDelay — though geziyor never
+    // consults it; opt-in): a host with Crawl-delay d gets at most
+    // max(1, floor(waveInterval/d)) grants per wave once its rules are
+    // fetched (the first wave runs uncapped — lazy-fetch timing).
+    honorCrawlDelay: Boolean = false
 )
 
 object CrawlSpec {

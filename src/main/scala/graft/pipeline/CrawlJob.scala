@@ -125,8 +125,8 @@ object CrawlJob {
     val emptyRecords = Seq.empty[(Int, Long, Int, String)]
       .toDF("wave", "rank", "seq", "json")
     val emptyOrder = Seq.empty[(Int, Long, String)].toDF("wave", "rank", "url")
-    val emptyRules = Seq.empty[(String, Seq[RobotsRules.Rule])]
-      .toDF("r_host", "rules")
+    val emptyRules = Seq.empty[(String, Seq[RobotsRules.Rule], Option[Double])]
+      .toDF("r_host", "rules", "crawl_delay")
     // RFC 6265 jar: keyed by (domain, name, path) — c_domain is the
     // normalized Domain attribute (host-suffix matched at application) or
     // the exact response host when absent (c_hostonly) — plus value,
@@ -343,16 +343,39 @@ object CrawlJob {
           if (spec.requestDelayMs > 0)
             Seq(col("priority").desc, col("delay_ms").asc, col("rank").asc)
           else Seq(col("priority").desc, col("rank").asc)
+        // Per-host wave cap: the spec's hostTokensPerWave, optionally
+        // tightened by the host's robots Crawl-delay (the reference's
+        // robots lib exposes Group.CrawlDelay; wave-mode collapse:
+        // ≤ max(1, floor(waveInterval / delay)) grants per wave). Rules
+        // are fetched lazily, so a host's FIRST wave runs uncapped —
+        // exactly like the reference's lazy robots fetch timing.
+        val honorDelay = spec.honorCrawlDelay && !spec.robotsTxtDisabled
         val (granted, deferred) =
-          if (spec.hostTokensPerWave == Int.MaxValue)
+          if (spec.hostTokensPerWave == Int.MaxValue && !honorDelay)
             (frontier, emptyFrontier)
           else {
-            val nonRetry0 = frontier.filter(!col("is_retry"))
+            val nonRetry00 = frontier.filter(!col("is_retry"))
+            val nonRetry1 =
+              if (!honorDelay)
+                nonRetry00.withColumn("hcap",
+                  lit(spec.hostTokensPerWave.toLong))
+              else nonRetry00
+                .join(broadcast(robotRules
+                    .select(col("r_host"), col("crawl_delay"))),
+                  col("host") === col("r_host"), "left")
+                .withColumn("hcap",
+                  least(lit(spec.hostTokensPerWave.toLong),
+                    coalesce(
+                      greatest(lit(1L),
+                        floor(lit(spec.waveIntervalMs / 1000.0) /
+                          col("crawl_delay")).cast("long")),
+                      lit(spec.hostTokensPerWave.toLong))))
+                .drop("r_host", "crawl_delay")
             val nonRetry =
               if (spec.requestDelayMs > 0)
-                nonRetry0.withColumn("delay_ms",
+                nonRetry1.withColumn("delay_ms",
                   delayExpr(spec.requestDelayMs, spec.randomDelay))
-              else nonRetry0
+              else nonRetry1
             // Two-phase salted ranking: phase 1 ranks within (host, salt) and
             // keeps ≤k per bucket — the global per-host top-k (by the same
             // total order) is always a subset of the per-salt survivors, so
@@ -366,18 +389,18 @@ object CrawlJob {
                   .withColumn("t1", row_number().over(
                     Window.partitionBy(col("host"), col("salt"))
                       .orderBy(polOrder: _*)))
-                (salted.filter(col("t1") <= spec.hostTokensPerWave),
-                 salted.filter(col("t1") > spec.hostTokensPerWave)
+                (salted.filter(col("t1") <= col("hcap")),
+                 salted.filter(col("t1") > col("hcap"))
                    .select(cols: _*))
               } else (nonRetry, emptyFrontier)
             val tw = Window.partitionBy(col("host")).orderBy(polOrder: _*)
             val ranked2 = phase1.withColumn("tok", row_number().over(tw))
-            val grantedNR = ranked2.filter(col("tok") <= spec.hostTokensPerWave)
+            val grantedNR = ranked2.filter(col("tok") <= col("hcap"))
               .select(cols: _*)
             val g = grantedNR.union(frontier.filter(col("is_retry")))
             // deferred = phase-1 drops ∪ phase-2 drops (no join needed)
             val d = deferredA.union(
-              ranked2.filter(col("tok") > spec.hostTokensPerWave)
+              ranked2.filter(col("tok") > col("hcap"))
                 .select(cols: _*))
             (g, d)
           }
@@ -446,8 +469,8 @@ object CrawlJob {
           // (empty rules); 5xx → disallow-all.
           val specUa = spec.userAgent
           val parseRobotsU = udf((status: java.lang.Integer, b: Array[Byte]) =>
-            if (status == null) Seq.empty[RobotsRules.Rule]
-            else RobotsRules.fromStatus(status.intValue(),
+            if (status == null) RobotsRules.Group(Seq.empty, None)
+            else RobotsRules.fromStatusGroup(status.intValue(),
               if (b == null) ""
               else new String(b, java.nio.charset.StandardCharsets.UTF_8),
               specUa))
@@ -456,8 +479,9 @@ object CrawlJob {
           // join's nulls, the no-robots-page allow-all rows)
           val newRules = newHosts
             .join(broadcast(hits), col("host") === col("h_hit"), "left")
-            .select(col("host").as("r_host"),
-              parseRobotsU(col("r_status"), col("r_body")).as("rules"))
+            .withColumn("g", parseRobotsU(col("r_status"), col("r_body")))
+            .select(col("host").as("r_host"), col("g.rules").as("rules"),
+              col("g.crawlDelay").as("crawl_delay"))
           robotRules = robotRules.union(newRules).localCheckpoint(true)
         }
 
@@ -477,10 +501,10 @@ object CrawlJob {
               col("host") === col("r_host"), "left")
             (j.filter(col("is_retry") ||
                 !isBlocked(col("path"), col("rules")))
-               .drop("r_host", "rules"),
+               .drop("r_host", "rules", "crawl_delay"),
              j.filter(!col("is_retry") &&
                 isBlocked(col("path"), col("rules")))
-               .drop("r_host", "rules"))
+               .drop("r_host", "rules", "crawl_delay"))
           }
 
         auditInc += (robotsBlocked.select(col("wave"), lit("robots_forbidden"),

@@ -32,14 +32,21 @@ object RobotsRules {
     */
   val DisallowAll: Seq[Rule] = Seq(Rule("", allow = false))
 
-  /** Parse a robots.txt body and return the rule group selected for
-    * `userAgent` (longest agent-token prefix match, `*` fallback), ready
-    * for `allowed`.
+  /** The UA-selected group: its rules plus its Crawl-delay (seconds,
+    * fractional allowed — the reference's robots library exposes it as
+    * `Group.CrawlDelay` even though geziyor itself never consults it;
+    * this engine's politeness stage can, opt-in).
     */
-  def parse(body: String, userAgent: String): Seq[Rule] = {
-    // group agent token (lowercased) → rules in file order
+  final case class Group(rules: Seq[Rule], crawlDelay: Option[Double])
+
+  /** Parse a robots.txt body and select the group for `userAgent`
+    * (longest agent-token prefix match, `*` fallback).
+    */
+  def group(body: String, userAgent: String): Group = {
+    // group agent token (lowercased) → rules in file order (+ crawl-delay)
     val groups = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Rule]]
+    val delays = scala.collection.mutable.HashMap.empty[String, Double]
     var currentAgents: List[String] = Nil
     var lastWasAgent = false
     body.linesIterator.foreach { raw =>
@@ -73,9 +80,15 @@ object RobotsRules {
               if (value.nonEmpty)
                 currentAgents.foreach(a =>
                   groups.get(a).foreach(_ += Rule(value, key == "allow")))
+            case "crawl-delay" =>
+              lastWasAgent = false
+              try {
+                val d = value.toDouble
+                if (d > 0) currentAgents.foreach(a => delays(a) = d)
+              } catch { case _: NumberFormatException => () }
             case _ =>
-              // crawl-delay / sitemap / unknown directives close the agent
-              // run but carry no gate semantics in this engine
+              // sitemap / unknown directives close the agent run but carry
+              // no gate semantics in this engine
               lastWasAgent = false
           }
         }
@@ -89,16 +102,25 @@ object RobotsRules {
         if (best.forall(_.length < a.length)) Some(a) else best
       }
       .orElse(if (groups.contains("*")) Some("*") else None)
-    chosen.map(a => groups(a).toSeq).getOrElse(Seq.empty)
+    chosen.map(a => Group(groups(a).toSeq, delays.get(a)))
+      .getOrElse(Group(Seq.empty, None))
   }
+
+  /** The selected group's rules alone (the gate's shape). */
+  def parse(body: String, userAgent: String): Seq[Rule] =
+    group(body, userAgent).rules
 
   /** `FromStatusAndBytes` (the reference's entry): 2xx parse, 4xx/no-page
     * allow-all, 5xx disallow-all.
     */
   def fromStatus(status: Int, body: => String, userAgent: String): Seq[Rule] =
-    if (status >= 500) DisallowAll
-    else if (status >= 400 || status < 200) Seq.empty
-    else parse(body, userAgent)
+    fromStatusGroup(status, body, userAgent).rules
+
+  /** Group-level `FromStatusAndBytes` (rules + Crawl-delay). */
+  def fromStatusGroup(status: Int, body: => String, userAgent: String): Group =
+    if (status >= 500) Group(DisallowAll, None)
+    else if (status >= 400 || status < 200) Group(Seq.empty, None)
+    else group(body, userAgent)
 
   /** Prefix-anchored glob: `*` matches any sequence, trailing `$` anchors
     * the end; without `$` the pattern matches any path it is a (glob)

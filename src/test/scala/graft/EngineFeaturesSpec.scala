@@ -209,6 +209,26 @@ class EngineFeaturesSpec extends AnyFunSuite {
 
   // ---- robots scheme fidelity --------------------------------------------
 
+  test("robots Crawl-delay caps per-host grants once rules are fetched") {
+    val spec = CrawlSpec(startUrls = Seq("http://cd.example.com/start"),
+      parserId = "all_links", honorCrawlDelay = true, maxWaves = 8)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val byWave = res.audit.filter(col("kind") === "crawled")
+      .groupBy("wave").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // seed wave uncapped (rules fetched lazily DURING wave 0), then
+    // Crawl-delay 0.5s × 1s wave interval → 2 grants/wave; nothing dropped
+    assert(byWave(0) == 1)
+    assert(byWave(1) == 2 && byWave(2) == 2 && byWave(3) == 1)
+    assert(byWave.values.sum == 6)
+    // without the opt-in, all 5 links crawl in wave 1
+    val off = CrawlJob.run(spark, spec.copy(honorCrawlDelay = false), pagesDf)
+    val offWaves = off.audit.filter(col("kind") === "crawled")
+      .groupBy("wave").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(offWaves(1) == 5)
+  }
+
   test("robots.txt fetched with the request's own scheme (https)") {
     // middleware/robotstxt.go:40 — the robots URL uses r.URL.Scheme; the
     // fixture's robots.txt exists ONLY at https://, so a hardcoded http://

@@ -90,6 +90,25 @@ class RobotsRulesSpec extends AnyFunSuite {
     assert(!allowed("/", srv))
   }
 
+  test("Crawl-delay: per-group, fractional, invalid ignored") {
+    val body =
+      """User-agent: fastbot
+        |Crawl-delay: 0.25
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 2.5
+        |""".stripMargin
+    assert(RobotsRules.group(body, "fastbot/1.0").crawlDelay.contains(0.25))
+    assert(RobotsRules.group(body, "otherbot").crawlDelay.contains(2.5))
+    assert(RobotsRules.group("User-agent: *\nCrawl-delay: nope\n", "b")
+      .crawlDelay.isEmpty)
+    assert(RobotsRules.group("User-agent: *\nDisallow: /x\n", "b")
+      .crawlDelay.isEmpty)
+    // rules unaffected by the delay directive
+    assert(RobotsRules.parse(body, "fastbot/1.0") == Seq(Rule("/x", false)))
+  }
+
   test("reference fixture subset still behaves (Disallow prefix group)") {
     val body = "User-agent: *\nDisallow: /deny\n"
     val rules = parse(body, graft.model.CrawlSpec.DefaultUserAgent)
