@@ -33,8 +33,14 @@ object MetricsServer {
       port: Int = 2112): Option[Handle] = {
     val mt = Option(metricsType).getOrElse("discard").toLowerCase
     if (mt != "prometheus" && mt != "expvar") return None
-    val server = HttpServer.create(
-      new InetSocketAddress("127.0.0.1", port), 0)
+    // a busy fixed port (another crawl on :2112) must not kill the crawl —
+    // fall back to an ephemeral port; the Handle reports the actual one
+    val server =
+      try HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+      catch {
+        case _: java.net.BindException =>
+          HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      }
     def respond(ex: HttpExchange, body: String, ct: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", ct)
