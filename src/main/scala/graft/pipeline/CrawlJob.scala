@@ -521,24 +521,37 @@ object CrawlJob {
         val withCookies =
           if (!cookiesActive || !cookieJarNonEmpty) robotsOk
           else {
-            // the WHOLE jar as one broadcast row (jars are per-host state,
-            // tiny next to the frontier); the header UDF applies the RFC
-            // filters per request (domain-match incl. subdomains for
-            // Domain cookies, path-match, Secure on https only, unexpired
-            // at the wave clock) and emits name-sorted name=value pairs —
-            // replacement was already applied at accumulation. A per-host
-            // equi-join can't express Domain cookies (one request host may
-            // match several key domains), hence the single-row broadcast.
-            val jarAgg = cookieJar
-              .agg(collect_list(struct(col("c_name"), col("c_domain"),
-                col("c_hostonly"), col("c_path"), col("c_value"),
-                col("c_secure"), col("c_expires"))).as("jar"))
+            // Split jar application (scale shape): HOST-ONLY cookies — the
+            // dominant population — stay on the per-host broadcast
+            // equi-join (their key domain IS the exact host); DOMAIN
+            // cookies ride a single broadcast row (a per-host equi-join
+            // can't express them: one request host may match several key
+            // domains), and that side is bounded by the few Set-Cookies
+            // that carry a Domain attribute. The header UDF applies the
+            // RFC filters per request (domain-match incl. subdomains,
+            // path-match, Secure on https only, unexpired at the wave
+            // clock) over the two concatenated slices and emits
+            // name-sorted name=value pairs — replacement was already
+            // applied at accumulation.
+            val jarStruct = struct(col("c_name"), col("c_domain"),
+              col("c_hostonly"), col("c_path"), col("c_value"),
+              col("c_secure"), col("c_expires"))
+            val hostAgg = cookieJar.filter(col("c_hostonly"))
+              .groupBy(col("c_domain").as("jh_host"))
+              .agg(collect_list(jarStruct).as("jar_h"))
+            val domAgg = cookieJar.filter(!col("c_hostonly"))
+              .agg(collect_list(jarStruct).as("jar_d"))
             val headerU = udf((url: String, host: String, path: String,
-                jar: Seq[Row]) =>
-              Cookies.header(url, host, path, waveNowEpoch, jar))
-            robotsOk.crossJoin(broadcast(jarAgg))
+                jarH: Seq[Row], jarD: Seq[Row]) =>
+              Cookies.header(url, host, path, waveNowEpoch,
+                (if (jarH == null) Seq.empty else jarH) ++
+                  (if (jarD == null) Seq.empty else jarD)))
+            robotsOk
+              .join(broadcast(hostAgg), col("host") === col("jh_host"), "left")
+              .crossJoin(broadcast(domAgg))
               .withColumn("cookie_hdr",
-                headerU(col("url"), col("host"), col("path"), col("jar")))
+                headerU(col("url"), col("host"), col("path"),
+                  col("jar_h"), col("jar_d")))
               .withColumn("meta",
                 when(col("cookie_hdr").isNotNull,
                   map_concat(
@@ -550,7 +563,7 @@ object CrawlJob {
                   // middlewares still inject later in the chain)
                   .otherwise(
                     map_filter(col("meta"), (k, _) => k =!= "cookie")))
-              .drop("cookie_hdr", "jar")
+              .drop("jh_host", "jar_h", "jar_d", "cookie_hdr")
           }
 
         // ---- custom request middlewares (geziyor.go:128-130: appended
