@@ -386,6 +386,131 @@ object SimQueries {
          |GROUP BY d.qid""".stripMargin
     })
 
+  // ---- IVF (inverted-file) ANN — the second scale path the brief names
+  // ("an IVF or LSH-bucketed variant"). Coarse quantizer: the first 16
+  // corpus vectors serve as deterministic centroids (production swaps in
+  // k-means-trained ones — the Spark plumbing is identical: an assignment
+  // join + cluster-pruned probe). ALL arithmetic is the q44 integer
+  // recipe — per-dimension quantize floor(v·1000) and EXACT integer dot
+  // products — so assignment argmax and ranking are bit-identical in any
+  // engine (no float-sum rounding can flip a cluster or a rank).
+
+  /** Quantized flat view: (vec_id, pos, qv) with qv = floor(v·1000). */
+  private def flatQ(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("v").cast("double") * 1000).cast("long").as("qv"))
+
+  /** Integer dots of every vector against the 16 centroids, ranked per
+    * vector (rn=1 → assignment; rn≤2 → the probe list).
+    */
+  private def centroidRanked(e: DataFrame): DataFrame = {
+    val f = flatQ(e)
+    val cent = f.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("pos"), col("qv").as("cv"))
+    val dots = f.join(cent, Seq("pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("qv") * col("cv")).as("dot"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    dots.withColumn("rn", row_number().over(w))
+  }
+
+  private val centroidRankedSql =
+    """flatq AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+      |  FROM embeddings
+      |),
+      |cdots AS (
+      |  SELECT f.vec_id AS vec_id, c.vec_id AS cid, SUM(f.qv * c.qv) AS dot
+      |  FROM flatq f JOIN flatq c ON f.pos = c.pos AND c.vec_id < 16
+      |  GROUP BY f.vec_id, c.vec_id
+      |),
+      |cranked AS (
+      |  SELECT vec_id, cid, dot,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY dot DESC, cid ASC) AS rn
+      |  FROM cdots
+      |)""".stripMargin
+
+  /** IVF coarse assignment (q49): each vector lands in the inverted list
+    * of its argmax-dot centroid. Output is the aggregated list profile
+    * (the q41 shape — hash-stable ints only). Scale: the assignment join
+    * is vectors × 16 centroid rows (broadcast), one shuffle per aggregate;
+    * the inverted lists ARE the partition-pruning key for probes.
+    */
+  val qIvfAssign = Q(
+    "q49_ivf_assign",
+    (s, dir) =>
+      centroidRanked(emb(s, dir)).filter(col("rn") === 1)
+        .groupBy(col("cid").as("cluster"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec")),
+    Some("WITH " + centroidRankedSql + """
+      |SELECT cid AS cluster, COUNT(*) AS n, MIN(vec_id) AS min_vec
+      |FROM cranked WHERE rn = 1 GROUP BY cid""".stripMargin))
+
+  /** IVF probe (q53): queries = vec_ids 16..23, nprobe=2 — candidates are
+    * ONLY the members of each query's two nearest inverted lists (the
+    * cluster-pruned search that replaces q40's all-pairs scan), exact
+    * integer-dot re-rank, top-3. Scale: candidate volume ≈ 2/16 of the
+    * corpus per query instead of all of it; the re-rank join blocks on
+    * the cluster id.
+    */
+  val qIvfTopK = Q(
+    "q53_ivf_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val ranked = centroidRanked(e)
+      val assign = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("nid"), col("cid").as("cluster"))
+      val probe = ranked
+        .filter(col("vec_id") >= 16 && col("vec_id") < 24 && col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("cid").as("cluster"))
+      val cands = probe.join(assign, Seq("cluster"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid")).distinct()
+      val f = flatQ(e)
+      val dots = cands
+        .join(f.select(col("vec_id").as("qid"), col("pos"), col("qv")),
+          Seq("qid"))
+        .join(f.select(col("vec_id").as("nid"), col("pos"),
+          col("qv").as("nv")), Seq("nid", "pos"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qv") * col("nv")).as("dot"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dot").desc, col("nid").asc)
+      dots.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"),
+          col("rnk").cast("int").as("rnk"))
+    },
+    Some("WITH " + centroidRankedSql + """,
+      |assign AS (SELECT vec_id AS nid, cid AS cluster FROM cranked WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS qid, cid AS cluster FROM cranked
+      |  WHERE vec_id >= 16 AND vec_id < 24 AND rn <= 2
+      |),
+      |cands AS (
+      |  SELECT DISTINCT p.qid, a.nid FROM probe p
+      |  JOIN assign a ON a.cluster = p.cluster AND a.nid <> p.qid
+      |),
+      |dots AS (
+      |  SELECT c.qid, c.nid, SUM(q.qv * n.qv) AS dot
+      |  FROM cands c
+      |  JOIN flatq q ON q.vec_id = c.qid
+      |  JOIN flatq n ON n.vec_id = c.nid AND n.pos = q.pos
+      |  GROUP BY c.qid, c.nid
+      |)
+      |SELECT vec_id, neighbor_id, rnk FROM (
+      |  SELECT qid AS vec_id, nid AS neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY dot DESC, nid ASC) AS INT) AS rnk
+      |  FROM dots) t
+      |WHERE rnk <= 3""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(qCosineTopK, qLshBuckets, qAnnBucketed, qAnnBanded, qEmbeddingNearDup)
+    Seq(qCosineTopK, qLshBuckets, qAnnBucketed, qAnnBanded, qEmbeddingNearDup,
+      qIvfAssign, qIvfTopK)
 }
