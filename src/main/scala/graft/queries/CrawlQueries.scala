@@ -690,6 +690,41 @@ object CrawlQueries {
         |  'via:crawler'
         |FROM pages""".stripMargin))
 
+  /** Priority frontier (q54): the north star's "partitioned priority
+    * frontier" face — frontier urls scored by link IN-DEGREE (how many
+    * corpus pages point at them), then the politeness window grants the
+    * per-host top-2 by (score desc, rank asc). Scale: the in-degree is one
+    * map-side-combined aggregate over the links edge table; the grant is
+    * the same two-phase-saltable host window as q07; all outputs are
+    * exact ints (hash-stable).
+    */
+  val qPriorityIndegree = Q(
+    "q54_priority_indegree",
+    (s, dir) => {
+      val indeg = v(s, dir)("links")
+        .groupBy(col("dst_url").as("url"))
+        .agg(count(lit(1)).as("score"))
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("score").desc, col("rank").asc)
+      v(s, dir)("frontier")
+        .join(indeg, Seq("url"), "left")
+        .withColumn("score", coalesce(col("score"), lit(0L)))
+        .withColumn("token", row_number().over(w))
+        .filter(col("token") <= 2)
+        .select(col("url"), col("host"), col("score"),
+          col("token"))
+    },
+    Some(cte("frontier", "links") +
+      """SELECT url, host, score, token FROM (
+        |  SELECT f.url AS url, f.host AS host,
+        |    COALESCE(i.score, 0) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY f.host
+        |      ORDER BY COALESCE(i.score, 0) DESC, f.rank ASC) AS token
+        |  FROM frontier f LEFT JOIN (
+        |    SELECT dst_url AS url, COUNT(*) AS score FROM links GROUP BY dst_url
+        |  ) i ON i.url = f.url) t
+        |WHERE token <= 2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
@@ -697,5 +732,5 @@ object CrawlQueries {
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
     qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull,
-    qWarcParse)
+    qWarcParse, qPriorityIndegree)
 }
