@@ -83,7 +83,7 @@ object Warc {
                 p = hEnd + 2
               }
             }
-            if (ok && contentLength >= 0 &&
+            if (ok && contentLength >= 0 && contentLength <= Int.MaxValue &&
                 p + contentLength <= bytes.length) {
               val payload = java.util.Arrays.copyOfRange(
                 bytes, p, p + contentLength.toInt)
