@@ -96,6 +96,25 @@ class ResumeSpec extends AnyFunSuite {
     assert(StateStore.asOf(spark, dir, 99, "records", delta = true).isEmpty)
   }
 
+  test("legacy pre-delta checkpoint fails LOUDLY instead of resuming empty") {
+    // round-3 advice: the old layout stored accumulators as wave=N
+    // snapshots; the delta reader would silently resume with an empty seen
+    // set (re-fetching everything) and drop all prior records
+    val dir = Files.createTempDirectory("graft-state-legacy").toString
+    import spark.implicits._
+    val legacySeen = Seq("http://quotes.toscrape.com/").toDF("url")
+    val legacyFrontier = Seq.empty[(String, String)].toDF("url", "host")
+    StateStore.commitWave(dir, 0, snapshots = Map(
+      "frontier" -> legacyFrontier, "robot_rules" -> legacyFrontier,
+      "seen" -> legacySeen)) // seen as a SNAPSHOT = the legacy layout
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 3)
+    val e = intercept[IllegalStateException] {
+      CrawlJob.run(spark, spec, pagesDf, stateDir = Some(dir))
+    }
+    assert(e.getMessage.contains("legacy pre-delta layout"))
+  }
+
   test("resume with nothing committed starts cold") {
     val dir = Files.createTempDirectory("graft-state-empty").toString
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
