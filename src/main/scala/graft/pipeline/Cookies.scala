@@ -11,9 +11,11 @@ package graft.pipeline
   *  - `Max-Age`: seconds from receipt, preferred over Expires; ≤ 0 means
   *    REMOVE the (host, name, path) cookie;
   *  - `Expires`: RFC-1123 HTTP date → absolute expiry epoch;
-  *  - `Secure`: only sent on https requests.
-  * Domain attribute is host-only in corpus mode (the jar keys by exact
-  * host, like the engine's fetch identity).
+  *  - `Secure`: only sent on https requests;
+  *  - `Domain`: §5.1.3/§5.2.3 — normalized (leading dot stripped,
+  *    lowercased), set-time validated against the response host, matched
+  *    to the domain and every subdomain (no public-suffix list, exactly
+  *    like the reference's `cookiejar.New(nil)` at geziyor.go:99).
   *
   * The clock is the crawl's deterministic wave clock
   * (spec.cacheNowEpochSec + wave · waveIntervalMs/1000) — the same
@@ -118,10 +120,13 @@ object Cookies {
   }
 
   /** Build the Cookie header for a request from jar entries (structs of
-    * name, domain, hostOnly, path, value, secure, expiresAt): RFC filters —
-    * domain-match (§5.1.3), path-match, secure-only-on-https, unexpired at
-    * the wave clock — then name-sorted `name=value` pairs (the jar's
-    * deterministic corpus-mode order). Null/empty result = no header.
+    * name, domain, hostOnly, path, value, secure, expiresAt[, creationWave]):
+    * RFC filters — domain-match (§5.1.3), path-match, secure-only-on-https,
+    * unexpired at the wave clock — then Go-jar order (net/http/cookiejar
+    * `cookies()`, RFC 6265 §5.4 step 2): path length DESC, then creation
+    * ASC (the wave the cookie entered the jar), then (name, path, domain)
+    * as a deterministic total-order tiebreak. Null/empty result = no
+    * header.
     */
   def header(url: String, requestHost: String, requestPath: String,
       nowEpoch: Long, jar: Seq[org.apache.spark.sql.Row]): String = {
@@ -133,13 +138,16 @@ object Cookies {
       val hostOnly = r.getBoolean(2); val path = r.getString(3)
       val value = r.getString(4); val secure = r.getBoolean(5)
       val expiresAt = r.getLong(6)
+      val creation = if (r.length > 7 && !r.isNullAt(7)) r.getInt(7) else 0
       val ok = domainMatches(host, domain, hostOnly) &&
         pathMatches(requestPath, path) &&
         (!secure || https) &&
         (expiresAt < 0 || expiresAt > nowEpoch)
-      if (ok) Some((name, value)) else None
+      if (ok) Some((name, value, path, domain, creation)) else None
     }
     if (applicable.isEmpty) null
-    else applicable.sortBy(_._1).map { case (n, v) => s"$n=$v" }.mkString("; ")
+    else applicable
+      .sortBy { case (n, _, p, d, w) => (-p.length, w, n, p, d) }
+      .map { case (n, v, _, _, _) => s"$n=$v" }.mkString("; ")
   }
 }

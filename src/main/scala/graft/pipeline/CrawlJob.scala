@@ -150,6 +150,19 @@ object CrawlJob {
     var robotRules = emptyRules // (r_host, rules) for hosts seen so far
     var cookieJar = emptyCookies // (c_host, c_cookie) accumulated Set-Cookies
     var cookieJarNonEmpty = false
+    // jar-shape flags, refreshed whenever the (tiny, checkpointed) jar
+    // changes: they gate which apply-side join slices are even built, so
+    // the common all-host-only jar never pays for the Domain machinery
+    var jarHasDomainCk = false // any non-host-only (Domain-attribute) cookie
+    var jarHasTldCk = false //   … with a single-label domain (no 2-label key)
+    def refreshJarFlags(): Unit = {
+      val s = cookieJar.filter(!col("c_hostonly"))
+        .agg(count(lit(1)),
+          count(when(size(split(col("c_domain"), "\\.")) < 2, 1)))
+        .head()
+      jarHasDomainCk = s.getLong(0) > 0
+      jarHasTldCk = s.getLong(1) > 0
+    }
 
     // At cold start the seed set itself is the first seen-delta increment
     // (resume reconstructs `seen` as the union of committed increments).
@@ -193,6 +206,7 @@ object CrawlJob {
                 "resuming would fail downstream — restart the crawl or " +
                 "migrate the snapshot")
           cookieJarNonEmpty = !cookieJar.isEmpty
+          if (cookieJarNonEmpty) refreshJarFlags()
         }
         startWave = w + 1
       case None =>
@@ -318,10 +332,18 @@ object CrawlJob {
     // live counter snapshot — re-rendered per scrape by the metrics
     // endpoint (metrics/metrics.go:100-115) and reused for the final
     // CrawlResult.metrics table
+    // Scrapes run on the MetricsServer's HTTP handler threads while the
+    // wave loop appends to metricsBuf / reassigns `audit` — snapshot both
+    // under the shared metricsBuf lock so a mid-append scrape never sees a
+    // torn buffer copy or a half-built audit plan.
     def liveMetrics(): DataFrame = {
-      val auditMetrics = audit.groupBy(col("wave"), col("kind").as("metric"))
+      val (auditSnap, bufSnap) = metricsBuf.synchronized {
+        (audit, metricsBuf.toList)
+      }
+      val auditMetrics = auditSnap
+        .groupBy(col("wave"), col("kind").as("metric"))
         .agg(count(lit(1)).as("value"))
-      auditMetrics.union(metricsBuf.toSeq.toDF("wave", "metric", "value"))
+      auditMetrics.union(bufSnap.toDF("wave", "metric", "value"))
     }
     val metricsServer = graft.metrics.MetricsServer.start(
       spec.metricsType, () => liveMetrics(), spec.metricsPort)
@@ -476,13 +498,32 @@ object CrawlJob {
               specUa))
           // hits is ≤ |newHosts| rows → broadcast it back onto newHosts (a
           // single corpus scan feeds both the hit bodies and, via the left
-          // join's nulls, the no-robots-page allow-all rows)
-          val newRules = newHosts
+          // join's nulls, the no-robots-page allow-all rows). ONE tiny
+          // eager materialization per wave (≤ new-hosts rows) feeds the
+          // rules-cache delta AND the robots request/response counter
+          // rows without re-scanning the corpus; the rules cache itself
+          // only compacts every 8th wave (plan-width bound, like `seen`)
+          // instead of checkpointing per wave.
+          val newRulesFull = newHosts
             .join(broadcast(hits), col("host") === col("h_hit"), "left")
             .withColumn("g", parseRobotsU(col("r_status"), col("r_body")))
-            .select(col("host").as("r_host"), col("g.rules").as("rules"),
-              col("g.crawlDelay").as("crawl_delay"))
-          robotRules = robotRules.union(newRules).localCheckpoint(true)
+            .select(col("host"), col("robots_url"), col("r_status"),
+              col("g.rules").as("rules"), col("g.crawlDelay").as("crawl_delay"))
+            .localCheckpoint(true)
+          // counter parity (metrics/metrics.go:31-33): the reference counts
+          // robots.txt fetches separately from forbidden decisions — one
+          // request row per newly-seen host, one response row per
+          // robots.txt actually served (status-labeled)
+          auditInc += (newRulesFull.select(lit(wave), lit("robots_request"),
+            lit("GET"), lit(0), col("host"), col("robots_url"), lit("")))
+          auditInc += (newRulesFull.filter(col("r_status").isNotNull)
+            .select(lit(wave), lit("robots_response"), lit("GET"),
+              col("r_status"), col("host"), col("robots_url"), lit("")))
+          robotRules = robotRules.union(newRulesFull
+            .select(col("host").as("r_host"), col("rules"),
+              col("crawl_delay")))
+          if ((wave + 1) % 8 == 0)
+            robotRules = robotRules.localCheckpoint(true)
         }
 
         granted2.persist(StorageLevel.MEMORY_AND_DISK)
@@ -523,35 +564,64 @@ object CrawlJob {
           else {
             // Split jar application (scale shape): HOST-ONLY cookies — the
             // dominant population — stay on the per-host broadcast
-            // equi-join (their key domain IS the exact host); DOMAIN
-            // cookies ride a single broadcast row (a per-host equi-join
-            // can't express them: one request host may match several key
-            // domains), and that side is bounded by the few Set-Cookies
-            // that carry a Domain attribute. The header UDF applies the
-            // RFC filters per request (domain-match incl. subdomains,
+            // equi-join (their key domain IS the exact host). DOMAIN
+            // cookies shard on a derived registrable-domain-ish key:
+            // §5.1.3 domain-match (H == D or H ends with "."+D) forces H
+            // and D to share their trailing two labels, so keying BOTH
+            // sides by last-two-labels is a lossless bucketing — the
+            // domain slice grows per key instead of globbing into one
+            // unbounded collect_list row (round-4 verdict). A
+            // single-label Domain (TLD-wide — settable because the jar,
+            // like the reference's `cookiejar.New(nil)`, has no PSL) has
+            // no two-label key; that pathological slice rides the old
+            // bounded single-row broadcast, flag-gated so the common path
+            // never builds it. The header UDF applies the exact RFC
+            // filters per request (full domain-match incl. subdomains,
             // path-match, Secure on https only, unexpired at the wave
-            // clock) over the two concatenated slices and emits
-            // name-sorted name=value pairs — replacement was already
+            // clock) over the concatenated slices and emits
+            // Go-jar-ordered name=value pairs — replacement was already
             // applied at accumulation.
             val jarStruct = struct(col("c_name"), col("c_domain"),
               col("c_hostonly"), col("c_path"), col("c_value"),
-              col("c_secure"), col("c_expires"))
+              col("c_secure"), col("c_expires"), col("c_wave"))
+            def lastTwo(c: Column): Column = {
+              val parts = split(c, "\\.")
+              when(size(parts) <= 2, c)
+                .otherwise(concat_ws(".", slice(parts, -2, 2)))
+            }
+            val nLabels = size(split(col("c_domain"), "\\."))
             val hostAgg = cookieJar.filter(col("c_hostonly"))
               .groupBy(col("c_domain").as("jh_host"))
               .agg(collect_list(jarStruct).as("jar_h"))
-            val domAgg = cookieJar.filter(!col("c_hostonly"))
-              .agg(collect_list(jarStruct).as("jar_d"))
+            val jarColType = hostAgg.schema("jar_h").dataType
+            val base = robotsOk
+              .join(broadcast(hostAgg), col("host") === col("jh_host"), "left")
+            val withDom =
+              if (!jarHasDomainCk)
+                base.withColumn("jar_d", lit(null).cast(jarColType))
+              else base.join(
+                broadcast(cookieJar
+                  .filter(!col("c_hostonly") && nLabels >= 2)
+                  .groupBy(lastTwo(col("c_domain")).as("jd_key"))
+                  .agg(collect_list(jarStruct).as("jar_d"))),
+                lastTwo(col("host")) === col("jd_key"), "left")
+            val withTld =
+              if (!jarHasTldCk)
+                withDom.withColumn("jar_t", lit(null).cast(jarColType))
+              else withDom.crossJoin(
+                broadcast(cookieJar
+                  .filter(!col("c_hostonly") && nLabels < 2)
+                  .agg(collect_list(jarStruct).as("jar_t"))))
             val headerU = udf((url: String, host: String, path: String,
-                jarH: Seq[Row], jarD: Seq[Row]) =>
+                jarH: Seq[Row], jarD: Seq[Row], jarT: Seq[Row]) =>
               Cookies.header(url, host, path, waveNowEpoch,
                 (if (jarH == null) Seq.empty else jarH) ++
-                  (if (jarD == null) Seq.empty else jarD)))
-            robotsOk
-              .join(broadcast(hostAgg), col("host") === col("jh_host"), "left")
-              .crossJoin(broadcast(domAgg))
+                  (if (jarD == null) Seq.empty else jarD) ++
+                  (if (jarT == null) Seq.empty else jarT)))
+            withTld
               .withColumn("cookie_hdr",
                 headerU(col("url"), col("host"), col("path"),
-                  col("jar_h"), col("jar_d")))
+                  col("jar_h"), col("jar_d"), col("jar_t")))
               .withColumn("meta",
                 when(col("cookie_hdr").isNotNull,
                   map_concat(
@@ -563,7 +633,8 @@ object CrawlJob {
                   // middlewares still inject later in the chain)
                   .otherwise(
                     map_filter(col("meta"), (k, _) => k =!= "cookie")))
-              .drop("jh_host", "jar_h", "jar_d", "cookie_hdr")
+              .drop("jh_host", "jar_h", "jd_key", "jar_d", "jar_t",
+                "cookie_hdr")
           }
 
         // ---- custom request middlewares (geziyor.go:128-130: appended
@@ -633,7 +704,10 @@ object CrawlJob {
         // no recompute of the politeness/robots pipeline
         val orderInc = pending.select(col("wave"), col("rank"), col("url"))
         order = order.union(orderInc)
-        metricsBuf += ((wave, "frontier_size", frontier.count()))
+        val frontierN = frontier.count() // Spark action OUTSIDE the lock
+        metricsBuf.synchronized {
+          metricsBuf += ((wave, "frontier_size", frontierN))
+        }
         lineageBuf ++= pending.groupBy(spark_partition_id().as("pid"))
           .agg(count(lit(1)).as("n")).collect()
           .map(r => (wave, r.getInt(0), r.getLong(1)))
@@ -751,7 +825,12 @@ object CrawlJob {
         // default, Max-Age over Expires, Secure), key by (host, name, path),
         // latest wave replaces (ties broken by max value for determinism);
         // Max-Age ≤ 0 / past Expires is an EVICTION of the keyed cookie.
-        if (cookiesActive) {
+        // Cheap pre-test: on the (common) waves with zero Set-Cookie
+        // responses the jar machinery costs ONE early-exit filter scan of
+        // the persisted `fetched` — no parse UDF, no distinct shuffle, no
+        // merge window (round-4 per-wave overhead clawback).
+        if (cookiesActive &&
+            !fetched.filter(col("p_setck").isNotNull).isEmpty) {
           val parseCkU = udf((setCookie: String, host: String, path: String) =>
             Cookies.parse(setCookie, host, path, waveNowEpoch))
           val newCk = fetched.filter(col("p_setck").isNotNull)
@@ -771,10 +850,17 @@ object CrawlJob {
               .withColumn("rn", row_number().over(
                 Window.partitionBy(col("c_domain"), col("c_name"), col("c_path"))
                   .orderBy(col("c_wave").desc, col("c_value").desc)))
-              .filter(col("rn") === 1 && !col("c_remove"))
+              .filter(col("rn") === 1 && !col("c_remove") &&
+                // purge rows already expired at the wave clock — dead
+                // cookies would otherwise ride every snapshot rewrite
+                // forever on a long crawl (they were already invisible to
+                // header(), which re-checks expiry per request)
+                (col("c_expires") < 0 ||
+                  col("c_expires") > lit(waveNowEpoch)))
               .drop("rn", "c_remove")
             cookieJar = merged.localCheckpoint(true)
             cookieJarNonEmpty = true
+            refreshJarFlags()
           }
         }
 
@@ -840,11 +926,15 @@ object CrawlJob {
           auditInc += (responses.select(col("wave"), lit("crawled"),
             col("method"), col("p_status"), col("host"), col("url"),
             crawlDetail))
-        else
+        else {
           // LogDisabled kills the log lines, NOT the counters
           // (metrics.go counters live outside LogStats) — keep the
           // per-wave crawled count in the metrics table directly.
-          metricsBuf += ((wave, "crawled", responses.count()))
+          val crawledN = responses.count() // Spark action OUTSIDE the lock
+          metricsBuf.synchronized {
+            metricsBuf += ((wave, "crawled", crawledN))
+          }
+        }
 
         val reg = parsers
         val maxBody = spec.maxBodySize
@@ -1050,7 +1140,7 @@ object CrawlJob {
         // normalize column names: the audit branches select lit() columns
         // whose auto-names would otherwise leak into the delta parquet
         val auditIncDf = auditInc.reduce(_ union _).toDF(emptyAudit.columns: _*)
-        audit = audit.union(auditIncDf)
+        metricsBuf.synchronized { audit = audit.union(auditIncDf) }
         tMark = dbg("audit-fold-chk", tMark)
 
         persisted += fetched
@@ -1078,7 +1168,10 @@ object CrawlJob {
     // single final materialization of the accumulated outputs, then release
     // the per-wave caches they were computed from
     records = records.localCheckpoint(true)
-    audit = audit.localCheckpoint(true)
+    locally {
+      val a = audit.localCheckpoint(true) // action outside the lock
+      metricsBuf.synchronized { audit = a }
+    }
     order = order.localCheckpoint(true)
     persisted.foreach(_.unpersist())
     bloomBc.foreach(_.destroy())

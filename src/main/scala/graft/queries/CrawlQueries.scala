@@ -644,8 +644,11 @@ object CrawlQueries {
     * by portable SQL; the Spark side runs the REAL byte-oriented parser
     * (graft.warc.Warc — version line, case-insensitive CRLF headers,
     * Content-Length-bounded payload, record-boundary scanning) and the
-    * oracle predicts every parsed field arithmetically. Scale: one
-    * narrow projection + per-partition streaming parse, no shuffle.
+    * oracle predicts every parsed field arithmetically. Content-Length is
+    * counted in UTF-8 BYTES on both sides (Spark OCTET_LENGTH / DuckDB
+    * STRLEN) — Warc.parse bounds the payload in bytes, so a character
+    * count would truncate non-ASCII text. Scale: one narrow projection +
+    * per-partition streaming parse, no shuffle.
     */
   val qWarcParse = Q(
     "q48_warc_parse",
@@ -659,7 +662,7 @@ object CrawlQueries {
            |  'WARC-Type: response' || $crlf ||
            |  'WARC-Target-URI: ' || url || $crlf ||
            |  'WARC-Date: 1997-01-01T00:00:00Z' || $crlf ||
-           |  'Content-Length: ' || CAST(LENGTH(text) AS STRING) || $crlf ||
+           |  'Content-Length: ' || CAST(OCTET_LENGTH(text) AS STRING) || $crlf ||
            |  $crlf || text || $crlf || $crlf ||
            |  'WARC/1.0' || $crlf ||
            |  'WARC-Type: metadata' || $crlf ||
@@ -682,7 +685,7 @@ object CrawlQueries {
     },
     Some(cte("pages") +
       """SELECT url, CAST(0 AS INT) AS rec_idx, 'response' AS warc_type,
-        |  url AS target_uri, CAST(LENGTH(text) AS BIGINT) AS content_len,
+        |  url AS target_uri, CAST(STRLEN(text) AS BIGINT) AS content_len,
         |  text AS payload_text
         |FROM pages
         |UNION ALL

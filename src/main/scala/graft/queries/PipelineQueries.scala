@@ -69,8 +69,11 @@ object PipelineQueries {
     * Expected-count derivation (mirrored by the oracle): the books site is
     * 1 index + 5 categories + 5×6 books = 36 pages, each crawled exactly
     * once (dup/fragment links dedup away); the one cross-host link on the
-    * index page is rejected by AllowedDomains → kinds = {crawled: 36,
-    * rejected_domain: 1}.
+    * index page is rejected by AllowedDomains; the robots middleware
+    * fetches robots.txt for the ONE newly-seen host (metrics.go:31 counts
+    * the request even though the books fixture serves no robots page, so
+    * no response row) → kinds = {crawled: 36, rejected_domain: 1,
+    * robots_request: 1}.
     */
   val qCrawlBooksAudit = Q(
     "q18_crawl_books_audit",
@@ -83,7 +86,8 @@ object PipelineQueries {
     },
     Some("""SELECT * FROM (VALUES
         |  ('crawled', CAST(36 AS BIGINT)),
-        |  ('rejected_domain', CAST(1 AS BIGINT))) AS t(kind, n)""".stripMargin))
+        |  ('rejected_domain', CAST(1 AS BIGINT)),
+        |  ('robots_request', CAST(1 AS BIGINT))) AS t(kind, n)""".stripMargin))
 
   val all: Seq[Q] = Seq(qCrawlQuotes, qCrawlBooksAudit)
 }

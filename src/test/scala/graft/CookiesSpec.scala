@@ -72,7 +72,7 @@ class CookiesSpec extends AnyFunSuite {
     assert(!Cookies.domainMatches("bexample.com", "example.com", hostOnly = false))
   }
 
-  test("header: domain/path/secure/expiry filters + name-sorted name=value") {
+  test("header: domain/path/secure/expiry filters + Go-jar order") {
     // struct order: name, domain, hostOnly, path, value, secure, expiresAt
     val h = "h.example.com"
     val jar = Seq(
@@ -88,13 +88,35 @@ class CookiesSpec extends AnyFunSuite {
       "alpha=a; dom=D; zeta=z")
     assert(Cookies.header(s"https://$h/x", h, "/x", now, jar) ==
       "alpha=a; dom=D; sec=v; zeta=z")
+    // the longest-path cookie leads (RFC 6265 §5.4 step 2 / Go jar order)
     assert(Cookies.header(s"http://$h/private/p", h, "/private/p", now, jar) ==
-      "alpha=a; dom=D; scoped=s; zeta=z")
+      "scoped=s; alpha=a; dom=D; zeta=z")
     assert(Cookies.header(s"http://$h/x", h, "/x", 100L, jar) ==
       "alpha=a; dead=d; dom=D; zeta=z") // not yet expired at t=100
     // a sibling host gets ONLY the domain cookie
     assert(Cookies.header("http://b.example.com/x", "b.example.com", "/x",
       now, jar) == "dom=D")
     assert(Cookies.header(s"http://$h/x", h, "/x", now, Nil) == null)
+  }
+
+  test("header golden: path-length desc, then creation asc, then name") {
+    // 8-field structs carry the creation wave (the jar's c_wave column);
+    // Go's net/http/cookiejar sorts selected cookies by path length DESC
+    // then creation time ASC — name order only breaks remaining ties
+    val h = "shop.example.com"
+    val jar = Seq(
+      Row("broad", h, true, "/", "b", false, -1L, 0),
+      Row("deep", h, true, "/cart/items", "d", false, -1L, 3),
+      Row("mid", h, true, "/cart", "m", false, -1L, 1),
+      Row("late", h, true, "/", "l", false, -1L, 2))
+    val got = Cookies.header(s"http://$h/cart/items/1", h, "/cart/items/1",
+      100L, jar)
+    assert(got == "deep=d; mid=m; broad=b; late=l")
+    // same path length: creation wave breaks the tie before name could
+    val jar2 = Seq(
+      Row("zz_first", h, true, "/", "1", false, -1L, 0),
+      Row("aa_second", h, true, "/", "2", false, -1L, 5))
+    assert(Cookies.header(s"http://$h/x", h, "/x", 100L, jar2) ==
+      "zz_first=1; aa_second=2")
   }
 }

@@ -73,8 +73,9 @@ class EngineFeaturesSpec extends AnyFunSuite {
     // the Domain cookie reaches the sibling subdomain AND the apex
     assert(byUrl("http://b.dom2.example.com/x") == "site=s")
     assert(byUrl("http://dom2.example.com/z") == "site=s")
-    // host-only local=v stays on b.dom2; both arrive name-sorted
-    assert(byUrl("http://b.dom2.example.com/y") == "local=v; site=s")
+    // host-only local=v stays on b.dom2; same path length → Go-jar order
+    // falls to creation asc: site (earlier wave) before local
+    assert(byUrl("http://b.dom2.example.com/y") == "site=s; local=v")
   }
 
   test("cookiesDisabled: no cookie ever applied (geziyor_test.go:269-288)") {

@@ -31,12 +31,18 @@ class ExpositionSpec extends AnyFunSuite {
         |geziyorspark_frontier_size_total{wave="1"} 1
         |geziyorspark_frontier_size_total{wave="2"} 1
         |geziyorspark_frontier_size_total{wave="all"} 3
+        |# TYPE geziyorspark_robots_request_total counter
+        |geziyorspark_robots_request_total{wave="0"} 1
+        |geziyorspark_robots_request_total{wave="all"} 1
+        |# TYPE geziyorspark_robots_response_total counter
+        |geziyorspark_robots_response_total{wave="0"} 1
+        |geziyorspark_robots_response_total{wave="all"} 1
         |""".stripMargin
     assert(text == expected)
   }
 
   test("expvar JSON: Go map-marshal conventions (sorted keys, compact)") {
     assert(Exposition.expvarJson(metrics) ==
-      """{"crawled":3,"frontier_size":3}""")
+      """{"crawled":3,"frontier_size":3,"robots_request":1,"robots_response":1}""")
   }
 }
