@@ -148,6 +148,7 @@ object CrawlJob {
     var audit = emptyAudit
     var order = emptyOrder
     var robotRules = emptyRules // (r_host, rules) for hosts seen so far
+    var rulesDeltas = 0 // non-empty robots deltas since last compaction
     var cookieJar = emptyCookies // (c_host, c_cookie) accumulated Set-Cookies
     var cookieJarNonEmpty = false
     // jar-shape flags, refreshed whenever the (tiny, checkpointed) jar
@@ -475,55 +476,65 @@ object CrawlJob {
             .withColumn("robots_url",
               concat(when(col("scheme") === "", "http").otherwise(col("scheme")),
                 lit("://"), col("host"), lit("/robots.txt")))
-          // newHosts is tiny by construction (new hosts this wave) → make it
-          // the BROADCAST build side of an inner join so the corpus is never
-          // shuffled for the robots fetch (a left-outer join would force the
-          // huge corpus to be the build side or shuffle both sides); hosts
-          // with no robots page are recovered by the anti-join below
-          // (allow-all, exactly like a 404 in the reference's
-          // FromStatusAndBytes).
-          val hits = corpus
-            .join(broadcast(newHosts), col("p_url") === col("robots_url"))
-            .select(col("host").as("h_hit"),
-              col("p_status").as("r_status"), col("p_html").as("r_body"))
-          // FromStatusAndBytes semantics honoring the crawl's UA: 2xx →
-          // parse groups + select the UA's group; 4xx / no page → allow-all
-          // (empty rules); 5xx → disallow-all.
-          val specUa = spec.userAgent
-          val parseRobotsU = udf((status: java.lang.Integer, b: Array[Byte]) =>
-            if (status == null) RobotsRules.Group(Seq.empty, None)
-            else RobotsRules.fromStatusGroup(status.intValue(),
-              if (b == null) ""
-              else new String(b, java.nio.charset.StandardCharsets.UTF_8),
-              specUa))
-          // hits is ≤ |newHosts| rows → broadcast it back onto newHosts (a
-          // single corpus scan feeds both the hit bodies and, via the left
-          // join's nulls, the no-robots-page allow-all rows). ONE tiny
-          // eager materialization per wave (≤ new-hosts rows) feeds the
-          // rules-cache delta AND the robots request/response counter
-          // rows without re-scanning the corpus; the rules cache itself
-          // only compacts every 8th wave (plan-width bound, like `seen`)
-          // instead of checkpointing per wave.
-          val newRulesFull = newHosts
-            .join(broadcast(hits), col("host") === col("h_hit"), "left")
-            .withColumn("g", parseRobotsU(col("r_status"), col("r_body")))
-            .select(col("host"), col("robots_url"), col("r_status"),
-              col("g.rules").as("rules"), col("g.crawlDelay").as("crawl_delay"))
-            .localCheckpoint(true)
-          // counter parity (metrics/metrics.go:31-33): the reference counts
-          // robots.txt fetches separately from forbidden decisions — one
-          // request row per newly-seen host, one response row per
-          // robots.txt actually served (status-labeled)
-          auditInc += (newRulesFull.select(lit(wave), lit("robots_request"),
-            lit("GET"), lit(0), col("host"), col("robots_url"), lit("")))
-          auditInc += (newRulesFull.filter(col("r_status").isNotNull)
-            .select(lit(wave), lit("robots_response"), lit("GET"),
-              col("r_status"), col("host"), col("robots_url"), lit("")))
-          robotRules = robotRules.union(newRulesFull
-            .select(col("host").as("r_host"), col("rules"),
-              col("crawl_delay")))
-          if ((wave + 1) % 8 == 0)
-            robotRules = robotRules.localCheckpoint(true)
+          // Materialize the (tiny) new-host set FIRST — its plan never
+          // touches the corpus — and run the robots fetch machinery ONLY
+          // when it is non-empty. On a settled crawl most waves discover
+          // no new hosts, and the r4 shape paid a full corpus-scan
+          // checkpoint on every one of them just to union an empty delta.
+          val newHostsM = newHosts.localCheckpoint(true)
+          if (!newHostsM.isEmpty) {
+            // newHosts is tiny by construction (new hosts this wave) → the
+            // BROADCAST build side of an inner join, so the corpus is never
+            // shuffled for the robots fetch (a left-outer join would force
+            // the huge corpus to be the build side or shuffle both sides);
+            // hosts with no robots page are recovered by the left join's
+            // nulls (allow-all, exactly like a 404 in the reference's
+            // FromStatusAndBytes).
+            val hits = corpus
+              .join(broadcast(newHostsM), col("p_url") === col("robots_url"))
+              .select(col("host").as("h_hit"),
+                col("p_status").as("r_status"), col("p_html").as("r_body"))
+            // FromStatusAndBytes semantics honoring the crawl's UA: 2xx →
+            // parse groups + select the UA's group; 4xx / no page →
+            // allow-all (empty rules); 5xx → disallow-all.
+            val specUa = spec.userAgent
+            val parseRobotsU = udf((status: java.lang.Integer, b: Array[Byte]) =>
+              if (status == null) RobotsRules.Group(Seq.empty, None)
+              else RobotsRules.fromStatusGroup(status.intValue(),
+                if (b == null) ""
+                else new String(b, java.nio.charset.StandardCharsets.UTF_8),
+                specUa))
+            // hits is ≤ |newHosts| rows → broadcast it back onto newHosts
+            // (a single corpus scan feeds both the hit bodies and, via the
+            // left join's nulls, the no-robots-page allow-all rows). ONE
+            // tiny eager materialization (≤ new-hosts rows) feeds the
+            // rules-cache delta AND the robots request/response counter
+            // rows without re-scanning the corpus; the rules cache itself
+            // compacts every 8th delta (plan-width bound, like `seen`)
+            // instead of checkpointing per wave.
+            val newRulesFull = newHostsM
+              .join(broadcast(hits), col("host") === col("h_hit"), "left")
+              .withColumn("g", parseRobotsU(col("r_status"), col("r_body")))
+              .select(col("host"), col("robots_url"), col("r_status"),
+                col("g.rules").as("rules"),
+                col("g.crawlDelay").as("crawl_delay"))
+              .localCheckpoint(true)
+            // counter parity (metrics/metrics.go:31-33): the reference
+            // counts robots.txt fetches separately from forbidden decisions
+            // — one request row per newly-seen host, one response row per
+            // robots.txt actually served (status-labeled)
+            auditInc += (newRulesFull.select(lit(wave), lit("robots_request"),
+              lit("GET"), lit(0), col("host"), col("robots_url"), lit("")))
+            auditInc += (newRulesFull.filter(col("r_status").isNotNull)
+              .select(lit(wave), lit("robots_response"), lit("GET"),
+                col("r_status"), col("host"), col("robots_url"), lit("")))
+            robotRules = robotRules.union(newRulesFull
+              .select(col("host").as("r_host"), col("rules"),
+                col("crawl_delay")))
+            rulesDeltas += 1
+            if (rulesDeltas % 8 == 0)
+              robotRules = robotRules.localCheckpoint(true)
+          }
         }
 
         granted2.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1138,8 +1149,16 @@ object CrawlJob {
           .localCheckpoint(true)
         tMark = dbg("frontier-assembly-chk", tMark)
         // normalize column names: the audit branches select lit() columns
-        // whose auto-names would otherwise leak into the delta parquet
-        val auditIncDf = auditInc.reduce(_ union _).toDF(emptyAudit.columns: _*)
+        // whose auto-names would otherwise leak into the delta parquet.
+        // Materialize the wave's increment NOW, while granted2/fetched are
+        // still cached: the audit branches re-run the gate/retry joins, and
+        // deferring them to the end-of-crawl checkpoint (the r4 shape)
+        // recomputed every wave's joins from UNPERSISTED inputs — profiled
+        // as the dominant outside-loop cost on q17/q18. This also bounds
+        // the audit plan to a union of materialized frames (the same
+        // plan-width argument as the seen-chain compaction).
+        val auditIncDf = auditInc.reduce(_ union _)
+          .toDF(emptyAudit.columns: _*).localCheckpoint(true)
         metricsBuf.synchronized { audit = audit.union(auditIncDf) }
         tMark = dbg("audit-fold-chk", tMark)
 

@@ -78,6 +78,36 @@ class EngineFeaturesSpec extends AnyFunSuite {
     assert(byUrl("http://b.dom2.example.com/y") == "site=s; local=v")
   }
 
+  test("single-label Domain cookie (TLD-wide, no-PSL parity) reaches " +
+      "sibling hosts via the flag-gated slice") {
+    // The reference's jar is cookiejar.New(nil) — no public-suffix list —
+    // so a server on a.com may set `Domain=com` and EVERY *.com host
+    // carries it. Such a domain has no two-label shard key, so it rides
+    // the bounded single-row slice that only exists while the jar holds
+    // one (jarHasTldCk flag).
+    import graft.fixtures.SiteFixtures.Page
+    val t = java.sql.Timestamp.valueOf("2023-06-01 00:00:00")
+    def pg(url: String, body: String, ck: String = null) = {
+      val html = s"<html><body>$body</body></html>"
+      Page(url, t, html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        html, "en", 200, "text/html; charset=utf-8", null, setCookie = ck)
+    }
+    val corpus = SiteFixtures.pagesDf(spark, Seq(
+      pg("http://a.com/start", "<a href=\"http://b.com/p\">b</a>",
+        "tld=1; Domain=com"),
+      pg("http://b.com/p", "<p>leaf</p>")))
+    val spec = CrawlSpec(startUrls = Seq("http://a.com/start"),
+      parserId = "cookie_echo", maxWaves = 4)
+    val res = CrawlJob.run(spark, spec, corpus)
+    val byUrl = recordSeq(res).map { r =>
+      val url = r.split("\"url\":\"")(1).stripSuffix("\"}")
+      val ck = r.split("\"cookie\":\"")(1).split("\"")(0)
+      url -> ck
+    }.toMap
+    assert(byUrl("http://a.com/start") == "")
+    assert(byUrl("http://b.com/p") == "tld=1")
+  }
+
   test("cookiesDisabled: no cookie ever applied (geziyor_test.go:269-288)") {
     val spec = CrawlSpec(startUrls = Seq("http://cookie.example.com/login"),
       parserId = "cookie_echo", cookiesDisabled = true, maxWaves = 5)
