@@ -483,7 +483,9 @@ object Bench {
     // so cross-VISIT samples (fresh subprocess, minutes apart) are worth
     // more against the ±30% noise than a third same-phase rep
     val clusterReps = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_REPS", "2").toInt
-    var e1 = 0.0; var e4 = 0.0
+    var e1 = 0.0; var e4 = 0.0 //       full-N bests
+    var e1r = 0.0; var e4r = 0.0 //     reduced-N fallback bests (never
+    //                                  mixed with full-N in one ratio)
     var t8 = 0.0; var t32 = 0.0
     var bestPair = 0.0
     val visitPairs = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -497,20 +499,36 @@ object Bench {
       // the efficiency ratio's numerator upward); alternating averages the
       // post-settle benefit across both sides of the ratio
       Thread.sleep(5000)
-      def run4() = {
-        val lim = math.max(30L, math.min(remaining.toLong - 15, 170L))
-        benchOne(s"local-cluster[4,8,10240]", clusterN,
-          clusterReps, pin = None, heap = "6g", limitSec = lim)
-      }
-      def run1() = {
-        val lim = math.max(30L, math.min(remaining.toLong - 15, 170L))
-        benchOne(s"local-cluster[1,8,10240]", clusterN,
-          clusterReps, pin = Some("0-7"), heap = "6g", limitSec = lim)
-      }
+      // Split the remaining budget between the two configs UP FRONT (the
+      // r4 failure mode: the first run consumed the whole slice, the
+      // second got a 45s stub → one zero → NO scaling evidence). When the
+      // per-run share can't fit the full-N job (a degraded host ran 8M×2
+      // past 170s in round 5's rehearsal), drop to N/4 × 1 rep — both
+      // configs of a visit ALWAYS run the same (n, reps), and reduced-N
+      // bests are tracked separately so a ratio never mixes job sizes.
+      val share = math.max(30L, math.min(((remaining - 25) / 2).toLong, 170L))
+      // tight share → keep the FULL job size and drop to 1 rep first (the
+      // 8M plateau needs its ramp amortized; the r5 rehearsal showed N/4×1
+      // is ramp-dominated and measures 3-6× under the plateau — worse than
+      // no evidence). N/4 only as a last resort on a nearly-spent budget.
+      val reduced = share < 60
+      val (nEff, repsEff) =
+        if (reduced) (math.max(clusterN / 4, 500000L), 1)
+        else if (share < 140) (clusterN, 1)
+        else (clusterN, clusterReps)
+      def run4() = benchOne(s"local-cluster[4,8,10240]", nEff,
+        repsEff, pin = None, heap = "6g", limitSec = share)
+      def run1() = benchOne(s"local-cluster[1,8,10240]", nEff,
+        repsEff, pin = Some("0-7"), heap = "6g", limitSec = share)
       val (v4, v1) =
         if (clusterVisits % 2 == 0) { val a = run4(); val b = run1(); (a, b) }
         else { val b = run1(); val a = run4(); (a, b) }
-      e1 = math.max(e1, v1); e4 = math.max(e4, v4)
+      if (reduced) {
+        e1r = math.max(e1r, v1); e4r = math.max(e4r, v4)
+        putRaw("cluster_reduced_n", nEff.toString)
+      } else {
+        e1 = math.max(e1, v1); e4 = math.max(e4, v4)
+      }
       if (v1 > 0 && v4 > 0) {
         // same-visit pair: both configs measured within ~2 min of each
         // other, the closest this host gets to a same-phase comparison
@@ -528,6 +546,13 @@ object Bench {
         // separate executor JVMs at N vs 4N — the conservative
         // ratio-of-bests estimator (per-config best across all visits)
         put("scaling_efficiency", e4 / (4.0 * e1))
+      } else if (e1r > 0 && e4r > 0) {
+        // reduced-N fallback evidence (labeled): better than none
+        put("urls_per_sec_1_executor_reduced", e1r, "%.0f")
+        put("urls_per_sec_4_executors_reduced", e4r, "%.0f")
+        put("executor_scaling_efficiency", e4r / (4.0 * e1r))
+      }
+      if (visitPairs.nonEmpty) {
         // best same-visit pair + the full pair list (noise dossier)
         put("best_pair_efficiency", bestPair)
         putRaw("visit_pair_efficiencies",
@@ -539,31 +564,37 @@ object Bench {
     // ---- thread scaling (pinned local[8] vs local[32]) — default --------
     var waveVisitCost = Double.MaxValue
     var waveVisits = 0
+    var t8r = 0.0; var t32r = 0.0
     def waveVisit(): Unit = {
       val v0 = elapsed
-      // same alternating first-config ordering as clusterVisit
+      // same alternating first-config ordering and up-front budget split
+      // as clusterVisit (incl. the reduced-N fallback, tracked separately)
       Thread.sleep(5000)
-      def run32() = {
-        val lim = math.max(30L, math.min(remaining.toLong - 15, 170L))
-        benchOne(s"local[32]", benchN, clusterReps,
-          pin = None, heap = "16g", limitSec = lim)
-      }
-      def run8() = {
-        val lim = math.max(30L, math.min(remaining.toLong - 15, 170L))
-        benchOne(s"local[8]", benchN, clusterReps,
-          pin = Some("0-7"), heap = "16g", limitSec = lim)
-      }
-      if (waveVisits % 2 == 0) {
-        t32 = math.max(t32, run32()); t8 = math.max(t8, run8())
-      } else {
-        t8 = math.max(t8, run8()); t32 = math.max(t32, run32())
-      }
+      val share = math.max(30L, math.min(((remaining - 25) / 2).toLong, 170L))
+      val reduced = share < 60
+      val (nEff, repsEff) =
+        if (reduced) (math.max(benchN / 4, 500000L), 1)
+        else if (share < 140) (benchN, 1)
+        else (benchN, clusterReps)
+      def run32() = benchOne(s"local[32]", nEff, repsEff,
+        pin = None, heap = "16g", limitSec = share)
+      def run8() = benchOne(s"local[8]", nEff, repsEff,
+        pin = Some("0-7"), heap = "16g", limitSec = share)
+      val (v32, v8) =
+        if (waveVisits % 2 == 0) { val a = run32(); val b = run8(); (a, b) }
+        else { val b = run8(); val a = run32(); (a, b) }
+      if (reduced) { t8r = math.max(t8r, v8); t32r = math.max(t32r, v32) }
+      else { t8 = math.max(t8, v8); t32 = math.max(t32, v32) }
       waveVisits += 1
       waveVisitCost = elapsed - v0
       if (t8 > 0 && t32 > 0) {
         put("urls_per_sec_local8", t8, "%.0f")
         put("urls_per_sec_local32", t32, "%.0f")
         put("thread_scaling_efficiency", t32 / (4.0 * t8))
+      } else if (t8r > 0 && t32r > 0) {
+        put("urls_per_sec_local8_reduced", t8r, "%.0f")
+        put("urls_per_sec_local32_reduced", t32r, "%.0f")
+        put("thread_scaling_efficiency", t32r / (4.0 * t8r))
       }
     }
     // ---- per-query timings FIRST — a hard driver deliverable that rounds
@@ -631,8 +662,12 @@ object Bench {
     // each remaining budget slice until the inversion clears. -------------
     val maxVisits = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_VISITS", "6").toInt
     try {
-      def clusterInverted = e1 > 0 && e4 > 0 && e4 < e1
-      def waveInverted = t8 > 0 && t32 > 0 && t32 < t8
+      def clusterInverted =
+        (e1 > 0 && e4 > 0 && e4 < e1) ||
+          (e1 == 0 && e1r > 0 && e4r > 0 && e4r < e1r)
+      def waveInverted =
+        (t8 > 0 && t32 > 0 && t32 < t8) ||
+          (t8 == 0 && t8r > 0 && t32r > 0 && t32r < t8r)
       var more = true
       while (more) {
         more = false
@@ -670,11 +705,20 @@ object Bench {
     // picking whichever family is numerically larger inflates the headline
     // toward the luckier draw. Thread family falls back in only when the
     // cluster phase produced nothing (e.g. phases env excluded it).
-    val execEff = if (e1 > 0 && e4 > 0) e4 / (4.0 * e1) else 0.0
-    val threadEff = if (t8 > 0 && t32 > 0) t32 / (4.0 * t8) else 0.0
+    val execEff =
+      if (e1 > 0 && e4 > 0) e4 / (4.0 * e1)
+      else if (e1r > 0 && e4r > 0) e4r / (4.0 * e1r)
+      else 0.0
+    val execReduced = !(e1 > 0 && e4 > 0) && e1r > 0 && e4r > 0
+    val threadEff =
+      if (t8 > 0 && t32 > 0) t32 / (4.0 * t8)
+      else if (t8r > 0 && t32r > 0) t32r / (4.0 * t8r)
+      else 0.0
     if (execEff > 0) {
       put("scaling_efficiency", execEff)
-      putRaw("scaling_efficiency_source", "\"executor_1x8_to_4x8\"")
+      putRaw("scaling_efficiency_source",
+        if (execReduced) "\"executor_1x8_to_4x8 (reduced-N fallback)\""
+        else "\"executor_1x8_to_4x8\"")
     } else if (threadEff > 0) {
       put("scaling_efficiency", threadEff)
       putRaw("scaling_efficiency_source",
