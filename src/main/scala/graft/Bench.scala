@@ -351,10 +351,23 @@ object Bench {
     // stdout line to 1,800 chars: drop the prose scaling_note entirely and
     // include only as many per-query timings as fit (greedy, name order —
     // the omitted tail plus everything else is in BENCH_LAST.json).
-    val budget = 1800
     val base =
       f""""metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"$extraPart,"detail":"BENCH_LAST.json""""
-    // overhead: '{' + base + ',"queries":' + map + maybe ',"queries_omitted":NN' + '}'
+    println(compactLine(base, qs))
+    System.out.flush()
+  }
+
+  /** Assemble the stdout contract line from the pre-rendered key/value
+    * `base` (no braces) and the per-query timings, keeping the TOTAL line
+    * length ≤ `budget` chars by greedily including timings in the given
+    * order and marking the cut with `queries_omitted`. Pure — pinned by
+    * BenchContractSpec against the driver's 2,000-char stdout tail.
+    */
+  private[graft] def compactLine(base: String, qs: Seq[(String, Double)],
+      budget: Int = 1800): String = {
+    def qJson(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // overhead: '{' + base + ',"queries":' + map + ',"queries_omitted":NNN' + '}'
     var kept = Vector.empty[(String, Double)]
     for (e <- qs) {
       val candidate = kept :+ e
@@ -364,9 +377,7 @@ object Bench {
     val omitted =
       if (kept.size < qs.size) s""","queries_omitted":${qs.size - kept.size}"""
       else ""
-    val line = s"""{$base,"queries":${qJson(kept)}$omitted}"""
-    println(line)
-    System.out.flush()
+    s"""{$base,"queries":${qJson(kept)}$omitted}"""
   }
 
   def main(args: Array[String]): Unit = {

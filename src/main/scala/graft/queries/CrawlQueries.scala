@@ -728,6 +728,28 @@ object CrawlQueries {
         |  ) i ON i.url = f.url) t
         |WHERE token <= 2""".stripMargin))
 
+  /** Codegen decode face (q55): the same charset-decode + IsHTML semantics
+    * as the crawl pipeline (client/client.go:140-154, response.go:37-45),
+    * but as NATIVE Catalyst expressions (`graft.functions.DecodeBody` /
+    * `IsHtmlCt` with doGenCode) applied over the corpus — the whole plan
+    * is one WholeStageCodegen span over the parquet scan, no UDF
+    * row-conversion breaks (plan pinned by DecodeExpressionsSpec). The
+    * oracle recovers the decoded string with DuckDB's blob DECODE and the
+    * IsHTML predicate arithmetically. Scale: pure per-row map, no shuffle.
+    */
+  val qDecodeCodegen = Q(
+    "q55_decode_codegen",
+    (s, dir) => {
+      import graft.functions.DecodeExpressions.{decode_body, is_html}
+      v(s, dir)("pages").select(col("url"),
+        decode_body(col("html"), col("content_type")).as("decoded"),
+        is_html(col("content_type")).as("is_html"))
+    },
+    Some(cte("pages") +
+      """SELECT url, DECODE(html) AS decoded,
+        |  contains(content_type, 'text/html') AS is_html
+        |FROM pages""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
@@ -735,5 +757,5 @@ object CrawlQueries {
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
     qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull,
-    qWarcParse, qPriorityIndegree)
+    qWarcParse, qPriorityIndegree, qDecodeCodegen)
 }
