@@ -56,25 +56,88 @@ object StateStore {
   def read(spark: SparkSession, dir: String, wave: Int, name: String): DataFrame =
     spark.read.parquet(s"$dir/wave=$wave/$name")
 
-  /** Union of a delta table's committed increments for waves ≤ `upToWave`.
-    * None when no increment exists (caller supplies its empty frame — the
-    * store doesn't know schemas).
+  /** Union of a delta table's committed increments for waves ≤ `upToWave`,
+    * reading a compaction base (`base=B`, see [[compactDeltas]]) plus the
+    * uncompacted tail when one exists. None when no increment exists
+    * (caller supplies its empty frame — the store doesn't know schemas).
+    *
+    * Wave directories already covered by the chosen base are IGNORED by
+    * protocol — a compactor that crashed between its atomic base rename
+    * and its best-effort cleanup leaves them behind without affecting
+    * readers.
     */
   def readDeltas(spark: SparkSession, dir: String, name: String,
       upToWave: Int): Option[DataFrame] = {
     val base = new java.io.File(s"$dir/delta/$name")
     if (!base.exists()) return None
-    val waves = base.listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("wave="))
+    val names = base.listFiles().toSeq.map(_.getName)
+    val bases = names.filter(_.startsWith("base="))
+      .map(_.stripPrefix("base=").toInt)
+    val horizon = bases.filter(_ <= upToWave).sorted.lastOption
+    if (bases.nonEmpty && horizon.isEmpty)
+      throw new IllegalStateException(
+        s"delta table $name at $dir is compacted to wave ${bases.min}+ — " +
+          s"history below that horizon was expired (Iceberg snapshot " +
+          s"expiration semantics); asOf/readDeltas(upToWave=$upToWave) is " +
+          "no longer answerable")
+    val floor = horizon.getOrElse(-1)
+    val waves = names.filter(_.startsWith("wave="))
       .map(_.stripPrefix("wave=").toInt)
-      .filter(_ <= upToWave).sorted
-    if (waves.isEmpty) None
+      .filter(w => w > floor && w <= upToWave).sorted
+    val paths = horizon.map(b => s"$dir/delta/$name/base=$b").toSeq ++
+      waves.map(w => s"$dir/delta/$name/wave=$w")
+    if (paths.isEmpty) None
     // one multi-path scan, not an N-deep union: a long checkpointed crawl
     // has thousands of committed increments, and a union plan that deep is
     // itself a driver-side scale problem (plan size/optimization cost grows
     // with wave count; a single FileScan over N directories does not)
-    else Some(spark.read.parquet(
-      waves.map(w => s"$dir/delta/$name/wave=$w"): _*))
+    else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Compact a delta table's committed increments ≤ `upToWave` into one
+    * `base=<upToWave>` directory — the Iceberg `rewrite_data_files` +
+    * snapshot-expiration analog. A 10,000-wave crawl otherwise carries
+    * 10,000 increment directories per accumulator: the multi-path scan
+    * stays one FileScan, but file-listing cost, open-file counts, and
+    * small-file overhead all grow with wave count. Run it as a
+    * maintenance job BETWEEN crawl runs (or from a scheduler), not inside
+    * the wave loop — each run costs O(accumulated size), so schedule it
+    * geometrically (e.g. when the uncompacted tail outweighs the base),
+    * never per-wave.
+    *
+    * Crash safety: the compacted data is written to a temp dir and
+    * published with ONE atomic directory rename to `base=<W>`; covered
+    * `wave=` dirs and older bases are then deleted best-effort (readers
+    * ignore them by protocol, so a crash mid-cleanup is harmless).
+    * Trade-off (documented Iceberg parity): time travel BELOW the
+    * compaction horizon is expired — readDeltas/asOf for an earlier wave
+    * fail loudly instead of silently over-reading.
+    */
+  def compactDeltas(spark: SparkSession, dir: String, name: String,
+      upToWave: Int): Unit = {
+    val merged = readDeltas(spark, dir, name, upToWave).getOrElse(return)
+    val tmp = s"$dir/delta/$name/_base_tmp_$upToWave"
+    merged.write.mode("overwrite").parquet(tmp)
+    val target = Paths.get(s"$dir/delta/$name/base=$upToWave")
+    // self-overwrite guard (re-compacting at the same horizon): the rename
+    // below must create, not nest
+    if (Files.exists(target)) rmTree(target.toFile)
+    Files.move(Paths.get(tmp), target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of covered increments and superseded bases
+    val root = new java.io.File(s"$dir/delta/$name")
+    root.listFiles().foreach { f =>
+      val n = f.getName
+      val covered =
+        (n.startsWith("wave=") && n.stripPrefix("wave=").toInt <= upToWave) ||
+          (n.startsWith("base=") && n.stripPrefix("base=").toInt < upToWave)
+      if (covered) rmTree(f)
+    }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
   }
 
   /** Time travel (Iceberg-snapshot semantics): a table exactly as wave

@@ -115,6 +115,47 @@ class ResumeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("legacy pre-delta layout"))
   }
 
+  test("delta compaction: resume after compactDeltas is byte-identical, " +
+      "crashed-compactor leftovers are ignored, expired history fails loudly") {
+    val dir = Files.createTempDirectory("graft-state-compact").toString
+    val full = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 20)
+    val direct = CrawlJob.run(spark, full, pagesDf)
+    val directRecs = direct.records.orderBy(col("wave"), col("rank"), col("seq"))
+      .select("json").collect().map(_.getString(0)).toSeq
+
+    // crash after 5 waves, then run the maintenance compactor on every
+    // accumulator (the Iceberg rewrite_data_files + expiration analog)
+    CrawlJob.run(spark, full.copy(maxWaves = 5), pagesDf, stateDir = Some(dir))
+    val w = StateStore.latestCommitted(dir).get
+    Seq("seen", "records", "audit", "crawl_order")
+      .foreach(t => StateStore.compactDeltas(spark, dir, t, w))
+    // covered wave dirs are gone; one base remains
+    val seenDir = new java.io.File(s"$dir/delta/seen")
+    assert(seenDir.listFiles().map(_.getName).sorted.toSeq == Seq(s"base=$w"))
+
+    // a crashed SECOND compactor: stray tmp dir + a re-materialized covered
+    // wave dir must both be invisible to readers
+    Files.createDirectories(java.nio.file.Paths.get(
+      s"$dir/delta/seen/_base_tmp_99"))
+    StateStore.read(spark, dir, w, "frontier").limit(1).write
+      .mode("overwrite").parquet(s"$dir/delta/records/wave=0")
+
+    val resumed = CrawlJob.run(spark, full, pagesDf, stateDir = Some(dir))
+    val resumedRecs = resumed.records.orderBy(col("wave"), col("rank"), col("seq"))
+      .select("json").collect().map(_.getString(0)).toSeq
+    assert(resumedRecs == directRecs)
+    assert(resumed.seen.collect().map(_.getString(0)).toSet ==
+      direct.seen.collect().map(_.getString(0)).toSet)
+
+    // time travel below the compaction horizon is EXPIRED — loud failure,
+    // never a silent over-read
+    val ex = intercept[IllegalStateException] {
+      StateStore.readDeltas(spark, dir, "seen", w - 1)
+    }
+    assert(ex.getMessage.contains("compacted"))
+  }
+
   test("resume with nothing committed starts cold") {
     val dir = Files.createTempDirectory("graft-state-empty").toString
     val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
