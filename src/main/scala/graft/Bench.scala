@@ -458,7 +458,10 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_HOME", "/opt/spark")
       pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-      pb.environment().put("SPARK_WORKER_DIR", "/tmp/graft-spark-worker")
+      // unique worker dir per subprocess: a force-killed predecessor must
+      // never leave lock/state debris for the next local-cluster launch
+      pb.environment().put("SPARK_WORKER_DIR",
+        s"/tmp/graft-spark-worker-${System.nanoTime()}")
       pb.environment().put("SPARK_LOG_DIR", "/tmp/graft-spark-logs")
       pb.redirectErrorStream(true)
       val proc = pb.start()
@@ -549,9 +552,13 @@ object Bench {
       }
       clusterVisits += 1
       lastVisitCost = elapsed - v0
+      // report whatever measured — a one-sided visit (the other config
+      // timed out in a churn phase) must leave PARTIAL evidence, not
+      // silence (round-5 rehearsal: a measured e1 vanished because e4's
+      // subprocess got killed at its limit)
+      if (e1 > 0) put("urls_per_sec_1_executor", e1, "%.0f")
+      if (e4 > 0) put("urls_per_sec_4_executors", e4, "%.0f")
       if (e1 > 0 && e4 > 0) {
-        put("urls_per_sec_1_executor", e1, "%.0f")
-        put("urls_per_sec_4_executors", e4, "%.0f")
         put("executor_scaling_efficiency", e4 / (4.0 * e1))
         // the headline north-rule number: same job, same input, real
         // separate executor JVMs at N vs 4N — the conservative
@@ -598,11 +605,11 @@ object Bench {
       else { t8 = math.max(t8, v8); t32 = math.max(t32, v32) }
       waveVisits += 1
       waveVisitCost = elapsed - v0
-      if (t8 > 0 && t32 > 0) {
-        put("urls_per_sec_local8", t8, "%.0f")
-        put("urls_per_sec_local32", t32, "%.0f")
+      if (t8 > 0) put("urls_per_sec_local8", t8, "%.0f")
+      if (t32 > 0) put("urls_per_sec_local32", t32, "%.0f")
+      if (t8 > 0 && t32 > 0)
         put("thread_scaling_efficiency", t32 / (4.0 * t8))
-      } else if (t8r > 0 && t32r > 0) {
+      else if (t8r > 0 && t32r > 0) {
         put("urls_per_sec_local8_reduced", t8r, "%.0f")
         put("urls_per_sec_local32_reduced", t32r, "%.0f")
         put("thread_scaling_efficiency", t32r / (4.0 * t8r))
@@ -673,18 +680,30 @@ object Bench {
     // each remaining budget slice until the inversion clears. -------------
     val maxVisits = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_VISITS", "6").toInt
     try {
+      // a family is BROKEN when its best 4N reading sits below its N
+      // reading (churn inversion) or when only one side measured at all
+      // (the other subprocess died/timed out) — broken families get first
+      // claim on each remaining budget slice, and a modest slice is enough
+      // (the visit itself adapts reps/N to the share it gets)
       def clusterInverted =
         (e1 > 0 && e4 > 0 && e4 < e1) ||
           (e1 == 0 && e1r > 0 && e4r > 0 && e4r < e1r)
+      def clusterIncomplete =
+        (e1 > 0) != (e4 > 0) || (e1 == 0 && (e1r > 0) != (e4r > 0))
+      def clusterBroken = clusterInverted || clusterIncomplete
       def waveInverted =
         (t8 > 0 && t32 > 0 && t32 < t8) ||
           (t8 == 0 && t8r > 0 && t32r > 0 && t32r < t8r)
+      def waveIncomplete =
+        (t8 > 0) != (t32 > 0) || (t8 == 0 && (t8r > 0) != (t32r > 0))
+      def waveBroken = waveInverted || waveIncomplete
       var more = true
       while (more) {
         more = false
         def tryCluster(): Unit =
           if (phases("cluster") && clusterVisits < maxVisits &&
-              remaining > lastVisitCost * 1.1 + 30) {
+              (remaining > lastVisitCost * 1.1 + 30 ||
+                (clusterBroken && remaining > 140))) {
             clusterVisit(); more = true
           }
         def tryWave(): Unit = {
@@ -692,9 +711,12 @@ object Bench {
           val waveCost =
             if (waveVisitCost == Double.MaxValue) 150.0
             else waveVisitCost * 1.1 + 30
-          if (phases("wave") && remaining > waveCost) { waveVisit(); more = true }
+          if (phases("wave") &&
+              (remaining > waveCost || (waveBroken && remaining > 140))) {
+            waveVisit(); more = true
+          }
         }
-        if (waveInverted && !clusterInverted) { tryWave(); tryCluster() }
+        if (waveBroken && !clusterBroken) { tryWave(); tryCluster() }
         else { tryCluster(); tryWave() }
       }
       // honesty markers: a still-inverted family after all visits means the
@@ -702,6 +724,8 @@ object Bench {
       // headline is never silently read as a clean measurement
       if (clusterInverted) putRaw("cluster_family_inverted", "true")
       if (waveInverted) putRaw("wave_family_inverted", "true")
+      if (clusterIncomplete) putRaw("cluster_family_incomplete", "true")
+      if (waveIncomplete) putRaw("wave_family_incomplete", "true")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] extra visits failed: $e")
