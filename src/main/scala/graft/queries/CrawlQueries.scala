@@ -693,6 +693,62 @@ object CrawlQueries {
         |  'via:crawler'
         |FROM pages""".stripMargin))
 
+  /** WARC envelope WRITING (q56): the output side of q48 — what a 100 TB
+    * crawl actually emits. The Spark side runs the REAL byte-oriented writer
+    * (graft.warc.Warc.write: version line, fixed-order ASCII headers,
+    * byte-counted Content-Length, CRLF CRLF separator) and proves the
+    * round-trip in-row (parse(write(r)) == r); the oracle reconstructs the
+    * identical envelope with portable string concat and both engines md5 the
+    * bytes — a byte-level equality check on every record without shipping
+    * the payloads through the compare. Content-Length / warc_len are UTF-8
+    * BYTES both sides (writer uses payload.length; DuckDB STRLEN). Scale:
+    * narrow projection + per-partition map, no shuffle — the same shape a
+    * partitioned WARC sink runs at 10^10 records.
+    */
+  val qWarcWrite = Q(
+    "q56_warc_write",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      CorpusViews.register(s, dir)
+      val pages = s.sql("SELECT url, text FROM pages")
+      val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+      val outEnc = Encoders.tuple(
+        Encoders.STRING, Encoders.BINARY, Encoders.scalaBoolean)
+      pages.as(enc).mapPartitions { it =>
+        it.map { case (url, text) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes =
+            graft.warc.Warc.write("response", url, "1997-01-01T00:00:00Z", payload)
+          val back = graft.warc.Warc.parse(bytes)
+          val ok = back.length == 1 && back.head.warcType == "response" &&
+            back.head.targetUri == url &&
+            back.head.contentLength == payload.length &&
+            java.util.Arrays.equals(back.head.payload, payload)
+          (url, bytes, ok)
+        }
+      }(outEnc).toDF("url", "warc", "roundtrip_ok")
+        .select(
+          col("url"),
+          octet_length(col("warc")).cast("long").as("warc_len"),
+          md5(col("warc")).as("warc_md5"),
+          col("roundtrip_ok"))
+    },
+    Some(cte("pages") +
+      """SELECT url,
+        |  CAST(STRLEN(envelope) AS BIGINT) AS warc_len,
+        |  md5(envelope) AS warc_md5,
+        |  TRUE AS roundtrip_ok
+        |FROM (
+        |  SELECT url,
+        |    'WARC/1.0' || chr(13) || chr(10) ||
+        |    'WARC-Type: response' || chr(13) || chr(10) ||
+        |    'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+        |    'WARC-Date: 1997-01-01T00:00:00Z' || chr(13) || chr(10) ||
+        |    'Content-Length: ' || CAST(STRLEN(text) AS VARCHAR) ||
+        |      chr(13) || chr(10) || chr(13) || chr(10) ||
+        |    text || chr(13) || chr(10) || chr(13) || chr(10) AS envelope
+        |  FROM pages)""".stripMargin))
+
   /** Priority frontier (q54): the north star's "partitioned priority
     * frontier" face — frontier urls scored by link IN-DEGREE (how many
     * corpus pages point at them), then the politeness window grants the
@@ -757,5 +813,5 @@ object CrawlQueries {
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
     qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull,
-    qWarcParse, qPriorityIndegree, qDecodeCodegen)
+    qWarcParse, qWarcWrite, qPriorityIndegree, qDecodeCodegen)
 }

@@ -35,6 +35,48 @@ object Warc {
     -1
   }
 
+  /** Serialize one record into its ISO 28500 envelope: version line,
+    * fixed-order ASCII header block (WARC-Type, WARC-Target-URI, WARC-Date,
+    * Content-Length), blank line, raw payload bytes bounded by
+    * Content-Length, then the CRLF CRLF record separator. The exact output
+    * side of a 100 TB crawl — records written here re-parse byte-identically
+    * with [[parse]] (payloads are arbitrary binary; embedded CRLFs or even a
+    * nested "WARC/" line in the payload never confuse the reader because the
+    * length header, not a sentinel, bounds it).
+    */
+  def write(
+      warcType: String,
+      targetUri: String,
+      date: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder(96 + targetUri.length)
+    head.append("WARC/1.0\r\n")
+    head.append("WARC-Type: ").append(warcType).append("\r\n")
+    head.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+    head.append("WARC-Date: ").append(date).append("\r\n")
+    head.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    val h = head.toString.getBytes("UTF-8") // ASCII-identical for ASCII URIs
+    val out = new Array[Byte](h.length + payload.length + 4)
+    System.arraycopy(h, 0, out, 0, h.length)
+    System.arraycopy(payload, 0, out, h.length, payload.length)
+    out(out.length - 4) = 13; out(out.length - 3) = 10
+    out(out.length - 2) = 13; out(out.length - 1) = 10
+    out
+  }
+
+  /** Concatenate already-serialized records into one member buffer (the
+    * per-partition file body a WARC sink emits).
+    */
+  def concat(records: Seq[Array[Byte]]): Array[Byte] = {
+    val total = records.iterator.map(_.length).sum
+    val out = new Array[Byte](total)
+    var pos = 0
+    records.foreach { r =>
+      System.arraycopy(r, 0, out, pos, r.length); pos += r.length
+    }
+    out
+  }
+
   /** Parse every complete record in the buffer. */
   def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
     val out = Seq.newBuilder[WarcRecord]

@@ -54,4 +54,30 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parse("not a warc".getBytes(US_ASCII)).isEmpty)
     assert(Warc.parse(Array.emptyByteArray).isEmpty)
   }
+
+  test("write emits the exact golden envelope bytes") {
+    val got = Warc.write("response", "http://a/", "2013-01-01T00:00:00Z",
+      "hello".getBytes(US_ASCII))
+    val want = rec("response", "http://a/", "hello".getBytes(US_ASCII))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("write/parse round-trip: binary payloads, CRLFs, nested WARC line, empty") {
+    val payloads = Seq(
+      Array[Byte](0, 1, -1, 13, 10, 13, 10, 127),
+      "WARC/1.0\r\nContent-Length: 99\r\n\r\nfake".getBytes(US_ASCII),
+      Array.emptyByteArray,
+      "héllo wörld".getBytes("UTF-8"))
+    val recs = payloads.zipWithIndex.map { case (p, i) =>
+      Warc.write(if (i % 2 == 0) "response" else "metadata", s"http://u/$i",
+        "1997-01-01T00:00:00Z", p)
+    }
+    val back = Warc.parse(Warc.concat(recs))
+    assert(back.size == payloads.size)
+    payloads.zip(back).zipWithIndex.foreach { case ((p, r), i) =>
+      assert(r.targetUri == s"http://u/$i")
+      assert(r.contentLength == p.length)
+      assert(r.payload.toSeq == p.toSeq, s"payload $i")
+    }
+  }
 }
