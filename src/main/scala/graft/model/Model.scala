@@ -126,6 +126,18 @@ final case class CrawlSpec(
     // geziyor.go:189-197): corpus-mode analog fetches the page's
     // pre-rendered `text` variant (the post-JS DOM) instead of raw `html`.
     rendered: Boolean = false,
+    // Rendered-mode action programs (pipeline/Actions.scala — the corpus
+    // chromedp analog). `preActions` REPLACES the default
+    // navigate→waitReady→capture list (options.go:80-84,
+    // client/client.go:215-217): the caller owns navigation AND capture —
+    // a replacement that never captures delivers an EMPTY body and
+    // StatusCode 0 (the client.go:227-239 res==nil branch).
+    // `requestActions` are APPENDED AFTER the (possibly replaced) list
+    // (client/request.go:32, client/client.go:219-221) — i.e. after the
+    // default capture, so their DOM mutations are invisible in the body
+    // unless preActions capture later. Only consulted when rendered=true.
+    preActions: Option[Seq[graft.pipeline.Actions.Action]] = None,
+    requestActions: Seq[graft.pipeline.Actions.Action] = Nil,
     // Proxy pool (client/proxy.go:19-48 RoundRobinProxy wired via
     // geziyor.go:77-86). Scale face: stateless stable assignment
     // proxy_id = md5-hash(url) % N (no shared atomic counter — the q34

@@ -103,6 +103,15 @@ object CrawlJob {
         cacheDf.nonEmpty
     val cookiesActive =
       !spec.cookiesDisabled && pages.columns.contains("set_cookie")
+    // Rendered-mode custom action program (pipeline/Actions.scala): the
+    // effective replaced-or-default PreActions plus appended per-request
+    // actions (client/client.go:215-221). None = the default rendered path
+    // (deliver the pre-rendered text variant untouched) stays zero-cost.
+    val actionProg: Option[Seq[Actions.Action]] =
+      if (spec.rendered &&
+          (spec.preActions.isDefined || spec.requestActions.nonEmpty))
+        Some(Actions.program(spec.preActions, spec.requestActions))
+      else None
 
     // fetch-relevant corpus projection (Catalyst prunes the parquet scan to
     // these columns when `pages` comes from files). Optional-feature columns
@@ -918,9 +927,31 @@ object CrawlJob {
         val responses0 = fetched.filter(col("p_status").isNotNull &&
           !col("redirect_exceeded") && !timedOut &&
           (!retryableStatus || col("retry") >= spec.retryTimes))
+        // Custom rendered action program: doRequestChrome runs the action
+        // list as part of the FETCH itself, before any response middleware
+        // (client/client.go:133-139,171-247). A replaced PreActions list
+        // owns capture — never captured ⇒ empty body; never navigated ⇒
+        // document response unset ⇒ StatusCode 0 (client.go:227-239).
+        // Pure per-row map inside the fetch projection — no extra shuffle;
+        // the audit's crawled row sees the post-program status, like the
+        // reference's delivered Response.
+        val responses1 = actionProg match {
+          case Some(prog) =>
+            val renderU = udf((u: String, t: String) => {
+              val r = Actions.render(u, t, prog)
+              (r.body, r.statusSet)
+            })
+            responses0
+              .withColumn("r_out", renderU(col("cur_url"), col("p_text")))
+              .withColumn("p_text", col("r_out._1"))
+              .withColumn("p_status",
+                when(col("r_out._2"), col("p_status")).otherwise(lit(0)))
+              .drop("r_out")
+          case None => responses0
+        }
         // custom response middlewares (geziyor.go:121-126 appended chain)
         val responses =
-          responseMiddlewares.foldLeft(responses0)((df, mw) => mw(df))
+          responseMiddlewares.foldLeft(responses1)((df, mw) => mw(df))
         // Proxy identity in the audit (client/proxy.go:19-48; SURVEY §2.4):
         // stable stateless assignment by url hash (the q34 scale face —
         // portable md5 derivation, so the oracle can reproduce it).
@@ -955,12 +986,20 @@ object CrawlJob {
         // pre-rendered DOM (`text` variant, always utf-8 HTML) instead of
         // the raw body — the corpus-mode analog of GetRendered.
         val bodyCol =
-          if (spec.rendered)
+          if (actionProg.isDefined)
+            // custom program: the body IS whatever GetOuterHTML captured
+            // (possibly empty) — no raw-html fallback, like the reference
+            encode(coalesce(col("p_text"), lit("")), "UTF-8")
+          else if (spec.rendered)
             when(col("p_text").isNotNull, encode(col("p_text"), "UTF-8"))
               .otherwise(col("p_html"))
           else col("p_html")
         val ctCol =
-          if (spec.rendered)
+          if (actionProg.isDefined)
+            // document response never received ⇒ headers unset (res==nil)
+            when(col("p_status") === 0, lit(null).cast("string"))
+              .otherwise(lit("text/html; charset=utf-8"))
+          else if (spec.rendered)
             when(col("p_text").isNotNull, lit("text/html; charset=utf-8"))
               .otherwise(col("p_ct"))
           else col("p_ct")

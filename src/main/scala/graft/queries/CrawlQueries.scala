@@ -806,6 +806,72 @@ object CrawlQueries {
         |  contains(content_type, 'text/html') AS is_html
         |FROM pages""".stripMargin))
 
+  /** Chrome rendering action programs (q57): the corpus-mode chromedp
+    * analog (pipeline/Actions.scala, client/client.go:171-247). Four
+    * programs per page exercise the reference's THREE extension semantics:
+    * appended Request.Actions run AFTER the default OuterHTML capture so
+    * their DOM effects are invisible in the body (client.go:219-221); a
+    * replacing PreActions list owns capture — capturing after scroll+click
+    * sees the mutated DOM; never capturing delivers an empty body; never
+    * navigating leaves the document response unset (status_set=false, the
+    * res==nil → StatusCode 0 branch, client.go:227-239). The Spark side
+    * runs the REAL interpreter per row (pure map, no shuffle); the oracle
+    * reconstructs every body arithmetically (lazy/click blocks are pure
+    * functions of url). Scale: one narrow projection + per-row pure
+    * function — embarrassingly parallel.
+    */
+  val qPreActions = Q(
+    "q57_pre_actions",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.pipeline.Actions
+      val p = v(s, dir)("pages").select(col("url"), col("text"))
+      val progs: Seq[(String, Seq[Actions.Action])] = Seq(
+        "defaults_appended" ->
+          (Actions.defaults ++
+            Seq(Actions.ScrollToBottom(2), Actions.Click("#more"))),
+        "override_scroll" ->
+          Seq(Actions.Navigate, Actions.ScrollToBottom(2),
+            Actions.Click("#more"), Actions.CaptureOuterHTML),
+        "override_nocapture" ->
+          Seq(Actions.Navigate, Actions.Sleep(5), Actions.ScrollToBottom(1)),
+        "override_nonav" ->
+          Seq(Actions.ScrollToBottom(1), Actions.CaptureOuterHTML))
+      val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+      val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+        Encoders.scalaBoolean, Encoders.STRING)
+      p.as(enc).mapPartitions { it =>
+        it.flatMap { case (url, text) =>
+          progs.map { case (pname, prog) =>
+            val r = Actions.render(url, text, prog)
+            (url, pname, r.statusSet, r.body)
+          }
+        }
+      }(outEnc).toDF("url", "program", "status_set", "body")
+        .select(col("url"), col("program"), col("status_set"),
+          md5(encode(col("body"), "UTF-8")).as("body_md5"),
+          octet_length(col("body")).cast("bigint").as("body_len"))
+    },
+    Some(cte("pages") +
+      """SELECT url, program, status_set, md5(body) AS body_md5,
+        |  CAST(STRLEN(body) AS BIGINT) AS body_len
+        |FROM (
+        |  SELECT url, 'defaults_appended' AS program, TRUE AS status_set,
+        |    text AS body
+        |  FROM pages
+        |  UNION ALL
+        |  SELECT url, 'override_scroll', TRUE,
+        |    text
+        |      || '<div class="lazy"><a href="' || url || '?scroll=1">more</a></div>'
+        |      || '<div class="lazy"><a href="' || url || '?scroll=2">more</a></div>'
+        |      || '<div id="revealed"><a href="' || url || '?clicked=1">detail</a></div>'
+        |  FROM pages
+        |  UNION ALL
+        |  SELECT url, 'override_nocapture', TRUE, '' FROM pages
+        |  UNION ALL
+        |  SELECT url, 'override_nonav', FALSE, '' FROM pages
+        |) t""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
@@ -813,5 +879,5 @@ object CrawlQueries {
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
     qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull,
-    qWarcParse, qWarcWrite, qPriorityIndegree, qDecodeCodegen)
+    qWarcParse, qWarcWrite, qPriorityIndegree, qDecodeCodegen, qPreActions)
 }
