@@ -107,6 +107,18 @@ object CorpusViews {
         |       ELSE 'W/"' || CAST(page_key AS STRING) || '"' END AS etag
         |FROM pages WHERE page_key % 2 = 0""".stripMargin,
 
+    // host-level link graph for authority/priority ranking (q58): the links
+    // edge list pre-aggregated to (src_host, dst_host, weight). Weight = link
+    // multiplicity. Same dst arithmetic as `links`; grouped here so both
+    // engines share the exact aggregation text.
+    "host_edges" ->
+      """SELECT
+        |  'h' || CAST(l_orderkey % 97 AS STRING) || '.example.com' AS src_host,
+        |  'h' || CAST(((l_orderkey * 31 + l_partkey * 7 + l_linenumber) % n_pages) % 97 AS STRING) || '.example.com' AS dst_host,
+        |  COUNT(*) AS w
+        |FROM lineitem CROSS JOIN (SELECT COUNT(*) AS n_pages FROM orders) c
+        |GROUP BY 1, 2""".stripMargin,
+
     "seeds" ->
       """SELECT
         |  'http://h' || CAST(o_orderkey % 97 AS STRING) || '.example.com/p/' || CAST(o_orderkey AS STRING) AS url,
