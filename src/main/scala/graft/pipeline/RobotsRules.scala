@@ -110,6 +110,33 @@ object RobotsRules {
   def parse(body: String, userAgent: String): Seq[Rule] =
     group(body, userAgent).rules
 
+  /** `Sitemap:` pointers (sitemaps.org discovery). The reference's robots
+    * library collects these FILE-WIDE — `Sitemaps []string` on the parsed
+    * robots data, independent of any agent group — in file order. Same
+    * semantics here: case-insensitive key, comments stripped, value taken
+    * verbatim (the protocol requires an absolute URL; we do not validate —
+    * neither does the reference), empty values dropped, duplicates kept
+    * (file order is the crawl-priority signal a frontier bootstrap uses).
+    */
+  def sitemaps(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    body.linesIterator.foreach { raw =>
+      val line = {
+        val noComment = raw.indexOf('#') match {
+          case -1 => raw
+          case i => raw.substring(0, i)
+        }
+        noComment.trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val value = line.substring(colon + 1).trim
+        if (value.nonEmpty) out += value
+      }
+    }
+    out.toSeq
+  }
+
   /** `FromStatusAndBytes` (the reference's entry): 2xx parse, 4xx/no-page
     * allow-all, 5xx disallow-all.
     */

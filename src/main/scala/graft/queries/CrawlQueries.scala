@@ -872,6 +872,68 @@ object CrawlQueries {
         |  SELECT url, 'override_nonav', FALSE, '' FROM pages
         |) t""".stripMargin))
 
+  /** robots.txt `Sitemap:` autodiscovery (q62): the reference's robots
+    * library exposes every `Sitemap:` line FILE-WIDE (`Sitemaps []string`,
+    * independent of agent groups) — the standard web-scale frontier
+    * bootstrap (robots → sitemap URLs → urlset fetch → seeds; the parse
+    * side of that fetch is q59). Self-proving oracle (q46/q47 pattern):
+    * each host's robots BODY is assembled from a fixed template exercising
+    * odd key casing (`SITEMAP:`/`sitemap:`), group independence (pointers
+    * interleaved with User-agent groups), an empty value (dropped), a
+    * trailing comment (stripped), and a cross-host absolute URL; the Spark
+    * side runs the REAL extractor (RobotsRules.sitemaps) and the oracle
+    * predicts every (position, url) arithmetically. Scale: one row per
+    * HOST (bounded like the rules cache), pure per-partition map +
+    * posexplode — no shuffle.
+    */
+  val qRobotsSitemaps = Q(
+    "q62_robots_sitemaps",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val r = v(s, dir)("robots").select(col("host"))
+      val hostnum = expr("CAST(SUBSTRING(host, 2, LENGTH(host)-13) AS BIGINT)")
+      val body = concat(
+        lit("# autodiscovery fixture\nUser-agent: *\nDisallow: /private\n"),
+        lit("SITEMAP: http://"), col("host"), lit("/sitemap.xml\n"),
+        when(hostnum % 3 === 0,
+          concat(lit("sitemap: http://"), col("host"),
+            lit("/sitemap-news.xml\n"))).otherwise(lit("")),
+        lit("Sitemap:\n"),
+        lit("User-agent: newsbot\nDisallow: /p/9\n"),
+        lit("Sitemap: http://cdn.example.org/shared/"),
+        hostnum.cast("string"), lit(".xml # mirror\n"))
+      val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+      val outEnc = Encoders.tuple(Encoders.STRING,
+        Encoders.scalaInt, Encoders.STRING)
+      r.withColumn("robots_body", body)
+        .select(col("host"), col("robots_body")).as(enc)
+        .mapPartitions { it =>
+          it.flatMap { case (host, b) =>
+            graft.pipeline.RobotsRules.sitemaps(b).zipWithIndex.map {
+              case (u, i) => (host, i, u)
+            }
+          }
+        }(outEnc).toDF("host", "pos", "sitemap_url")
+    },
+    Some(cte("robots") +
+      """SELECT host, CAST(pos AS INT) AS pos, sitemap_url FROM (
+        |  SELECT host, 0 AS pos,
+        |    'http://' || host || '/sitemap.xml' AS sitemap_url
+        |  FROM robots
+        |  UNION ALL
+        |  SELECT host, 1, 'http://' || host || '/sitemap-news.xml'
+        |  FROM robots
+        |  WHERE CAST(SUBSTRING(host, 2, LENGTH(host)-13) AS BIGINT) % 3 = 0
+        |  UNION ALL
+        |  SELECT host,
+        |    CASE WHEN CAST(SUBSTRING(host, 2, LENGTH(host)-13) AS BIGINT) % 3 = 0
+        |         THEN 2 ELSE 1 END,
+        |    'http://cdn.example.org/shared/'
+        |      || CAST(CAST(SUBSTRING(host, 2, LENGTH(host)-13) AS BIGINT) AS STRING)
+        |      || '.xml'
+        |  FROM robots
+        |) t""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
@@ -879,5 +941,6 @@ object CrawlQueries {
     qMetricsMethod, qCacheFresh, qProxyRoundRobin, qCrawlBfs,
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
     qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull,
-    qWarcParse, qWarcWrite, qPriorityIndegree, qDecodeCodegen, qPreActions)
+    qWarcParse, qWarcWrite, qPriorityIndegree, qDecodeCodegen, qPreActions,
+    qRobotsSitemaps)
 }

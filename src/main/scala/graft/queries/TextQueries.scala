@@ -436,7 +436,140 @@ object TextQueries {
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin))
 
+  /** Repetition-quality metrics (q63): the Gopher-style repetition rules
+    * (Rae et al. 2021 §A1.1) a webtext pipeline filters on — duplicate-word
+    * mass and the most-common-2-gram count per document. All-integer
+    * outputs (hash-stable): n_words, n_distinct_words, top_bigram_n.
+    * Scale: bigram expansion is a pure per-row `transform` (no window, no
+    * per-doc sort); the counts are two map-side-combined aggregates keyed
+    * by (doc_id, bigram) then doc_id — explode → partial agg is the same
+    * shape as the shingle pipeline and survives 10^10 docs.
+    */
+  val qRepetition = Q(
+    "q63_repetition_metrics",
+    (s, dir) => {
+      val words = docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      val base = words.select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct_words"),
+        col("w"))
+      val bg = base.select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(w) >= 2
+            |  THEN transform(sequence(0, size(w)-2),
+            |                 i -> concat(w[i], ' ', w[i+1]))
+            |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("bg"))
+      val top = bg.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).cast("int").as("top_bigram_n"))
+      base.drop("w").join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          coalesce(col("top_bigram_n"), lit(0)).as("top_bigram_n"))
+    },
+    Some("""WITH words AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM words
+        |), topbg AS (
+        |  SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+        |    SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2) t
+        |  GROUP BY 1
+        |)
+        |SELECT w.doc_id,
+        |  CAST(len(w.w) AS INT) AS n_words,
+        |  CAST(len(list_distinct(w.w)) AS INT) AS n_distinct_words,
+        |  CAST(COALESCE(t.top_bigram_n, 0) AS INT) AS top_bigram_n
+        |FROM words w LEFT JOIN topbg t USING (doc_id)""".stripMargin))
+
+  /** Paragraph-level global dedup (q64): the CCNet recipe — split documents
+    * into paragraphs, hash each, keep ONE copy corpus-wide (first-wins by
+    * document order), emit the per-paragraph keeper verdict a recompose
+    * step joins back on. The corpus text is single-line, so the fixture
+    * builds two-paragraph documents deterministically: paragraph 0 = the
+    * doc's own text, paragraph 1 = the text of partner doc
+    * (doc_id*31+7) % N — real cross-document duplicate mass (every text
+    * appears as somebody's paragraph 1). Scale: the only shuffle keys on
+    * the PARAGRAPH hash (window over partition-by-para), exactly how a
+    * 100 TB paragraph dedup shards; no driver state.
+    */
+  val qParaDedup = Q(
+    "q64_paragraph_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val withN = d.crossJoin(d.agg(count(lit(1)).as("n")))
+        .withColumn("pid", (col("doc_id") * 31 + 7) % col("n"))
+      val partner = d.select(col("doc_id").as("pid"), col("text").as("ptext"))
+      val paras = d.select(col("doc_id"), lit(0).as("idx"), col("text").as("para"))
+        .unionAll(withN.join(partner, Seq("pid"))
+          .select(col("doc_id"), lit(1).as("idx"), col("ptext").as("para")))
+      paras
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("para"))
+            .orderBy((col("doc_id") * 2 + col("idx")).asc)))
+        .select(col("doc_id"), col("idx"),
+          md5(encode(col("para"), "UTF-8")).as("para_md5"),
+          (col("rn") === 1).as("is_keeper"))
+    },
+    Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |paras AS (
+        |  SELECT doc_id, 0 AS idx, text AS para FROM documents
+        |  UNION ALL
+        |  SELECT d.doc_id, 1, p.text
+        |  FROM documents d CROSS JOIN nn
+        |  JOIN documents p ON p.doc_id = (d.doc_id * 31 + 7) % nn.n
+        |)
+        |SELECT doc_id, CAST(idx AS INT) AS idx, md5(para) AS para_md5,
+        |  ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id * 2 + idx) = 1
+        |    AS is_keeper
+        |FROM paras""".stripMargin))
+
+  /** PII redaction (q65): scrub emails and phone-like tokens before a
+    * corpus ships to training — regexp_replace with identical POSIX-safe
+    * patterns on both engines, plus match counts (Spark `regexp_count` /
+    * DuckDB `len(regexp_extract_all)`). The corpus text carries no PII, so
+    * the fixture plants a deterministic email + phone per doc; outputs are
+    * the redacted-text digest and the two counts. Scale: pure per-row
+    * projection — codegen'd, no shuffle, no UDF.
+    */
+  val qPiiRedact = Q(
+    "q65_pii_redact",
+    (s, dir) => {
+      val email = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+      val phone = "555-[0-9]{4}"
+      val pii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com or call 555-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string"),
+          lit(" now")).as("ptext"))
+      pii.select(col("doc_id"),
+        md5(encode(
+          regexp_replace(
+            regexp_replace(col("ptext"), email, "<EMAIL>"),
+            phone, "<PHONE>"), "UTF-8")).as("redacted_md5"),
+        regexp_count(col("ptext"), lit(email)).cast("int").as("n_emails"),
+        regexp_count(col("ptext"), lit(phone)).cast("int").as("n_phones"))
+    },
+    Some("""WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS STRING)
+        |      || '@mail.example.com or call 555-'
+        |      || CAST(1000 + doc_id % 9000 AS STRING) || ' now' AS ptext
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  md5(regexp_replace(
+        |        regexp_replace(ptext, '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+        |        '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(ptext, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(ptext, '555-[0-9]{4}')) AS INT) AS n_phones
+        |FROM pii""".stripMargin))
+
   val all: Seq[Q] = Seq(qRegexTokens, qDedupExact, qDedupNorm, qTokenCount, qQualityScore,
     qLangId, qFingerprint, qShingles, qMinHash, qMinHashLsh, qNgramJaccard,
-    qSimHash, qJaccardLshVerify)
+    qSimHash, qJaccardLshVerify, qRepetition, qParaDedup, qPiiRedact)
 }

@@ -116,4 +116,32 @@ class RobotsRulesSpec extends AnyFunSuite {
     assert(!allowed("/deny/page", rules))
     assert(allowed("/page/1", rules))
   }
+
+  test("sitemaps: file-wide, group-independent, case-insensitive, " +
+    "comments stripped, empties dropped, duplicates kept in file order") {
+    val body =
+      """# header comment
+        |Sitemap: http://a.example.com/s1.xml
+        |User-agent: googlebot
+        |Disallow: /x
+        |SITEMAP: http://a.example.com/s2.xml  # trailing comment
+        |User-agent: *
+        |sitemap:http://a.example.com/s3.xml
+        |Sitemap:
+        |Sitemap: http://a.example.com/s1.xml
+        |NotASitemap: http://nope.example.com/
+        |""".stripMargin
+    assert(RobotsRules.sitemaps(body) == Seq(
+      "http://a.example.com/s1.xml",
+      "http://a.example.com/s2.xml",
+      "http://a.example.com/s3.xml",
+      "http://a.example.com/s1.xml"))
+    // a Sitemap line does NOT leak rules into any group, and group
+    // selection is unaffected (it closes the agent run like any unknown
+    // directive — temoto/robotstxt parity)
+    assert(RobotsRules.parse(body, "googlebot") == Seq(Rule("/x", false)))
+    assert(RobotsRules.parse(body, "other").isEmpty)
+    assert(RobotsRules.sitemaps("") == Seq.empty)
+    assert(RobotsRules.sitemaps("User-agent: *\nDisallow: /\n") == Seq.empty)
+  }
 }
