@@ -355,10 +355,42 @@ object SiteFixtures {
         "text/html; charset=utf-8", null))
   }
 
+  /** Sitemap-discovery site (sitemaps.org; `RobotsRules.sitemaps` →
+    * `Sitemap.parse`): robots.txt carries TWO `Sitemap:` pointers (one
+    * before the agent group, one after — file-wide semantics); the urlset
+    * documents list pages NO page links to, so only sitemap discovery can
+    * reach them. `/linked` is an ordinary link for the control run.
+    */
+  def sitemapPages: Seq[Page] = {
+    def p(url: String, body: String, ct: String = "text/html; charset=utf-8") =
+      Page(url, ts(850), body.getBytes(StandardCharsets.UTF_8), body, "en",
+        200, ct, null)
+    import graft.sitemap.Sitemap
+    val sm1 = Sitemap.write(Seq(
+      Sitemap.Entry("http://sm.example.com/sm/a", Some("2023-06-01")),
+      Sitemap.Entry("http://sm.example.com/sm/b", None)))
+    val sm2 = Sitemap.write(Seq(
+      Sitemap.Entry("http://sm.example.com/sm/c", None)))
+    Seq(
+      p("http://sm.example.com/",
+        "<html><body><a href=\"/linked\">l</a></body></html>"),
+      p("http://sm.example.com/robots.txt",
+        "Sitemap: http://sm.example.com/sitemap.xml\n" +
+          "User-agent: *\nDisallow: /private\n" +
+          "Sitemap: http://sm.example.com/sitemap2.xml\n",
+        ct = "text/plain; charset=utf-8"),
+      p("http://sm.example.com/sitemap.xml", sm1, ct = "application/xml"),
+      p("http://sm.example.com/sitemap2.xml", sm2, ct = "application/xml"),
+      p("http://sm.example.com/linked", "<html><body><p>linked</p></body></html>"),
+      p("http://sm.example.com/sm/a", "<html><body><p>a</p></body></html>"),
+      p("http://sm.example.com/sm/b", "<html><body><p>b</p></body></html>"),
+      p("http://sm.example.com/sm/c", "<html><body><p>c</p></body></html>"))
+  }
+
   def allPages: Seq[Page] =
     quotesPages ++ booksPages ++ megaPages ++ redirectPages ++ flakyPages ++
       charsetPages ++ cookiePages ++ jsPages ++ securePages ++ rotatePages ++
-      rfc6265Pages ++ domainCookiePages ++ crawlDelayPages
+      rfc6265Pages ++ domainCookiePages ++ crawlDelayPages ++ sitemapPages
 
   /** The corpus as a DataFrame in the BASELINE input_hint shape
     * `pages(url, warc_ts, html, text, lang)` + fetch-semantics meta columns

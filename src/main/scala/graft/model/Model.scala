@@ -160,7 +160,15 @@ final case class CrawlSpec(
     // consults it; opt-in): a host with Crawl-delay d gets at most
     // max(1, floor(waveInterval/d)) grants per wave once its rules are
     // fetched (the first wave runs uncapped — lazy-fetch timing).
-    honorCrawlDelay: Boolean = false
+    honorCrawlDelay: Boolean = false,
+    // Sitemap autodiscovery (sitemaps.org, opt-in): when a NEW host's
+    // robots.txt is fetched, its `Sitemap:` pointers (RobotsRules.sitemaps
+    // — the reference robots library's file-wide Sitemaps field) are
+    // fetched from the corpus in the same wave and every urlset <loc>
+    // enters the next wave's frontier as a discovered link at depth 1 —
+    // subject to the same domain filter, dedup, seen anti-join and
+    // politeness as any parsed link.
+    sitemapDiscovery: Boolean = false
 )
 
 object CrawlSpec {

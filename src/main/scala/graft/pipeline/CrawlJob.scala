@@ -470,6 +470,10 @@ object CrawlJob {
             (g2, deferred.union(drop1).union(d2))
           }
 
+        // sitemap-discovered candidate links for THIS wave (set inside the
+        // robots block when sitemapDiscovery is on and new hosts appeared)
+        var sitemapCandW: Option[DataFrame] = None
+
         // ---- robots: incrementally fetch rules for NEW hosts ------------
         // Scheme fidelity (middleware/robotstxt.go:40): the robots URL uses
         // the triggering request's OWN scheme — per host, the first granted
@@ -521,12 +525,23 @@ object CrawlJob {
             // rows without re-scanning the corpus; the rules cache itself
             // compacts every 8th delta (plan-width bound, like `seen`)
             // instead of checkpointing per wave.
+            // when sitemap discovery is on, the Sitemap: pointers ride the
+            // same checkpointed projection (no second robots-body pass)
+            val smPtrsU = udf((status: java.lang.Integer, b: Array[Byte]) =>
+              if (status == null || status.intValue() < 200 ||
+                  status.intValue() >= 300 || b == null) Seq.empty[String]
+              else RobotsRules.sitemaps(
+                new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+            val smCol =
+              if (spec.sitemapDiscovery)
+                Seq(smPtrsU(col("r_status"), col("r_body")).as("sitemap_ptrs"))
+              else Nil
             val newRulesFull = newHostsM
               .join(broadcast(hits), col("host") === col("h_hit"), "left")
               .withColumn("g", parseRobotsU(col("r_status"), col("r_body")))
-              .select(col("host"), col("robots_url"), col("r_status"),
+              .select(Seq(col("host"), col("robots_url"), col("r_status"),
                 col("g.rules").as("rules"),
-                col("g.crawlDelay").as("crawl_delay"))
+                col("g.crawlDelay").as("crawl_delay")) ++ smCol: _*)
               .localCheckpoint(true)
             // counter parity (metrics/metrics.go:31-33): the reference
             // counts robots.txt fetches separately from forbidden decisions
@@ -543,6 +558,42 @@ object CrawlJob {
             rulesDeltas += 1
             if (rulesDeltas % 8 == 0)
               robotRules = robotRules.localCheckpoint(true)
+
+            // ---- sitemap autodiscovery (sitemaps.org; opt-in) ------------
+            // The pointers just parsed for this wave's NEW hosts are
+            // fetched from the corpus NOW (tiny pointer set → broadcast
+            // probe side, the corpus is never shuffled — the robots
+            // fetch's own join shape; one extra corpus scan per wave that
+            // discovers hosts, zero on settled waves) and every urlset
+            // <loc> becomes a candidate link for the NEXT frontier.
+            // parent_rank = -1 sorts sitemap discoveries ahead of parsed
+            // links in the intra-wave first-wins window (deterministic
+            // keeper). At 10^8 hosts the pointer set is O(new hosts) and
+            // the urlset explode is a per-partition flatMap — no driver
+            // state, no collect.
+            if (spec.sitemapDiscovery) {
+              val ptrs = newRulesFull.select(
+                posexplode(col("sitemap_ptrs")).as(Seq("sm_pos", "sm_url")))
+              val smDocs = corpus
+                .join(broadcast(ptrs), col("p_url") === col("sm_url"))
+                .select(col("sm_pos"), col("p_status").as("s_status"),
+                  col("p_html").as("s_body"))
+              val locsU = udf((status: java.lang.Integer, b: Array[Byte]) =>
+                if (status == null || status.intValue() < 200 ||
+                    status.intValue() >= 300 || b == null) Seq.empty[String]
+                else graft.sitemap.Sitemap.parse(
+                  new String(b, java.nio.charset.StandardCharsets.UTF_8))
+                  .map(_.loc))
+              sitemapCandW = Some(smDocs
+                .select(col("sm_pos"),
+                  posexplode(locsU(col("s_status"), col("s_body")))
+                    .as(Seq("loc_pos", "url")))
+                .select(col("url"), lit(spec.parserId).as("parser_id"),
+                  lit(-1L).as("parent_rank"),
+                  (col("sm_pos") * 65536 + col("loc_pos")).as("link_pos"),
+                  lit(1).as("depth"),
+                  typedLit(Map.empty[String, String]).as("meta")))
+            }
           }
         }
 
@@ -1043,12 +1094,16 @@ object CrawlJob {
         records = records.union(recordsInc)
 
         // ---- discovered links → next frontier ----------------------------
-        val cand = parsed
+        val candLinks = parsed
           .select(col("rank").as("parent_rank"), col("depth"), col("meta"),
             posexplode(col("links")).as(Seq("link_pos", "link")))
           .select(col("link._1").as("url"), col("link._2").as("parser_id"),
             col("parent_rank"), col("link_pos"),
             (col("depth") + 1).as("depth"), col("meta"))
+        // sitemap-discovered locs (if any) enter the same candidate stream:
+        // same depth cap, domain filter, first-wins dedup, seen anti-join
+        val cand = sitemapCandW
+          .map(candLinks.unionByName(_)).getOrElse(candLinks)
           .filter(col("depth") <= spec.maxDepth)
           .withColumn("host", hostOfU(col("url")))
           .withColumn("path", pathOfU(col("url")))

@@ -272,6 +272,25 @@ class EngineFeaturesSpec extends AnyFunSuite {
     assert(kinds("crawled") == 2) // hub + /open; /hidden/x blocked
   }
 
+  test("sitemap discovery: robots Sitemap pointers seed the frontier " +
+      "(both pointers, file-wide), off by default") {
+    val spec = CrawlSpec(startUrls = Seq("http://sm.example.com/"),
+      parserId = "all_links", maxWaves = 4, sitemapDiscovery = true)
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val crawled = res.audit.filter(col("kind") === "crawled")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(crawled == Set(
+      "http://sm.example.com/", "http://sm.example.com/linked",
+      "http://sm.example.com/sm/a", "http://sm.example.com/sm/b",
+      "http://sm.example.com/sm/c"))
+    // control: without the flag the sitemap-only pages are unreachable
+    val ctrl = CrawlJob.run(spark, spec.copy(sitemapDiscovery = false), pagesDf)
+    val ctrlCrawled = ctrl.audit.filter(col("kind") === "crawled")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(ctrlCrawled == Set(
+      "http://sm.example.com/", "http://sm.example.com/linked"))
+  }
+
   // ---- proxy identity in the audit ---------------------------------------
 
   test("proxy pool: crawled audit rows carry the assigned proxy identity") {
