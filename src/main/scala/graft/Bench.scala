@@ -101,14 +101,11 @@ object Bench {
       lit(".example.com/p/"), pageId)
   }
 
-  /** The three wave inputs, persisted (SER — deserialized caches of
-    * multi-million-row inputs thrash executor GC; serialized blocks are ~5x
-    * smaller and GC-invisible) and materialized. Built ONCE per benchmark
-    * subprocess; every timed wave re-reads the same cached inputs.
+  /** The three raw (unpersisted) wave inputs — shared by the per-subprocess
+    * cache fill and the parent's one-time shared-parquet pre-build.
     */
-  private[graft] def waveInputs(
+  private def rawInputs(
       spark: SparkSession, n: Long): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.storage.StorageLevel
     val pageSpace = (n * 8) / 10            // 20% intra-batch dup urls
     val fRaw = frontier(spark, n, pageSpace)
     val seenRaw = spark.range(0L, pageSpace / 2, 1L, InputParts) // half the url space already seen
@@ -116,6 +113,50 @@ object Bench {
     val pagesRaw = spark.range(0L, (pageSpace * 7) / 10, 1L, InputParts) // 70% fetch hit rate
       .select(urlOf(col("id")).as("url"),
         when(col("id") % 37 === 0, 503).otherwise(200).as("status"))
+    (fRaw, seenRaw, pagesRaw)
+  }
+
+  /** Pre-built shared input layout (round-5 harness lever): the PARENT
+    * builds the three wave inputs once at full machine width and every
+    * scaling-visit subprocess reads the same tmpfs parquet instead of
+    * regenerating 15M+ rows per visit — the generation was untimed either
+    * way (timed waves read the materialized cache), but it dominated each
+    * visit's wall cost, which is what limits how many full-N best-of
+    * visits fit the budget (r5 run 1: e4's subprocess hit its 122s share
+    * mid-ramp → one-sided family). Same input bytes for BOTH configs of
+    * every visit, by construction.
+    */
+  private[graft] def writeSharedInputs(
+      spark: SparkSession, n: Long, dir: String): Unit = {
+    val (f, seen, pages) = rawInputs(spark, n)
+    f.write.mode("overwrite").parquet(s"$dir/frontier")
+    seen.write.mode("overwrite").parquet(s"$dir/seen")
+    pages.write.mode("overwrite").parquet(s"$dir/pages")
+  }
+
+  /** The three wave inputs, persisted (SER — deserialized caches of
+    * multi-million-row inputs thrash executor GC; serialized blocks are ~5x
+    * smaller and GC-invisible) and materialized. Built ONCE per benchmark
+    * subprocess — or, when SPARK_GRAFT_INPUT_DIR points at the parent's
+    * shared pre-build, READ once (cache-fill cost only); every timed wave
+    * re-reads the same cached inputs either way.
+    */
+  private[graft] def waveInputs(
+      spark: SparkSession, n: Long): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    sys.env.get("SPARK_GRAFT_INPUT_DIR") match {
+      case Some(dir) =>
+        val f = spark.read.parquet(s"$dir/frontier")
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val seen = spark.read.parquet(s"$dir/seen")
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val pages = spark.read.parquet(s"$dir/pages")
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        f.count(); seen.count(); pages.count()
+        return (f, seen, pages)
+      case None => ()
+    }
+    val (fRaw, seenRaw, pagesRaw) = rawInputs(spark, n)
     sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "SER") match {
       case "PARQUET" =>
         // columnar tmpfs cache: dictionary/RLE-encoded urls are ~4x smaller
@@ -433,6 +474,11 @@ object Bench {
         }
       }
 
+    // Shared input pre-build (writeSharedInputs): set after the queries
+    // phase, consumed by every full-N subprocess visit. Declared up-front
+    // (var) so benchOne's closure can see it without a forward reference.
+    var sharedInputDir: Option[String] = None
+
     // ---- subprocess scaling measurement ----------------------------------
     // One measurement = one fresh JVM (graft.BenchOne) that builds the wave
     // inputs once and times `reps` waves over them, printing the best.
@@ -456,6 +502,11 @@ object Bench {
         "-XX:+UseParallelGC", "-Dspark.ui.enabled=false") ++ addOpens ++
         Seq("-cp", cp, "graft.BenchOne", master, n.toString, reps.toString)
       val pb = new ProcessBuilder(cmd: _*)
+      // shared pre-built inputs are sized for benchN — a reduced-N
+      // fallback subprocess must regenerate its own smaller inputs
+      if (n == benchN)
+        sharedInputDir.foreach(d =>
+          pb.environment().put("SPARK_GRAFT_INPUT_DIR", d))
       pb.environment().put("SPARK_HOME", "/opt/spark")
       pb.environment().put("SPARK_SCALA_VERSION", "2.13")
       // unique worker dir per subprocess: a force-killed predecessor must
@@ -478,7 +529,11 @@ object Bench {
       gobbler.setDaemon(true)
       gobbler.start()
       val done = proc.waitFor(limitSec, java.util.concurrent.TimeUnit.SECONDS)
-      if (!done) { proc.destroyForcibly(); proc.waitFor() }
+      if (!done) {
+        proc.destroyForcibly(); proc.waitFor()
+        System.err.println(s"[bench] subprocess $master n=$n killed at ${limitSec}s limit")
+      } else if (proc.exitValue() != 0)
+        System.err.println(s"[bench] subprocess $master n=$n exit ${proc.exitValue()}")
       gobbler.join(2000)
       sb.synchronized { sb.toString }.linesIterator
         .find(_.startsWith("URLS_PER_SEC"))
@@ -530,13 +585,19 @@ object Bench {
         if (reduced) (math.max(clusterN / 4, 500000L), 1)
         else if (share < 140) (clusterN, 1)
         else (clusterN, clusterReps)
-      def run4() = benchOne(s"local-cluster[4,8,10240]", nEff,
-        repsEff, pin = None, heap = "6g", limitSec = share)
-      def run1() = benchOne(s"local-cluster[1,8,10240]", nEff,
-        repsEff, pin = Some("0-7"), heap = "6g", limitSec = share)
+      def run4(lim: Long) = benchOne(s"local-cluster[4,8,10240]", nEff,
+        repsEff, pin = None, heap = "6g", limitSec = lim)
+      def run1(lim: Long) = benchOne(s"local-cluster[1,8,10240]", nEff,
+        repsEff, pin = Some("0-7"), heap = "6g", limitSec = lim)
+      // the SECOND config's kill limit uses the ACTUAL remaining budget —
+      // the up-front half-split only sizes the workload; when the first
+      // config finishes early (shared inputs), the saved time must not be
+      // thrown away while the other side dies at a stale half-share (the
+      // r5 one-sided-family mode)
+      def lim2 = math.max(30L, math.min((remaining - 25).toLong, 170L))
       val (v4, v1) =
-        if (clusterVisits % 2 == 0) { val a = run4(); val b = run1(); (a, b) }
-        else { val b = run1(); val a = run4(); (a, b) }
+        if (clusterVisits % 2 == 0) { val a = run4(share); val b = run1(lim2); (a, b) }
+        else { val b = run1(share); val a = run4(lim2); (a, b) }
       if (reduced) {
         e1r = math.max(e1r, v1); e4r = math.max(e4r, v4)
         putRaw("cluster_reduced_n", nEff.toString)
@@ -594,13 +655,14 @@ object Bench {
         if (reduced) (math.max(benchN / 4, 500000L), 1)
         else if (share < 140) (benchN, 1)
         else (benchN, clusterReps)
-      def run32() = benchOne(s"local[32]", nEff, repsEff,
-        pin = None, heap = "16g", limitSec = share)
-      def run8() = benchOne(s"local[8]", nEff, repsEff,
-        pin = Some("0-7"), heap = "16g", limitSec = share)
+      def run32(lim: Long) = benchOne(s"local[32]", nEff, repsEff,
+        pin = None, heap = "16g", limitSec = lim)
+      def run8(lim: Long) = benchOne(s"local[8]", nEff, repsEff,
+        pin = Some("0-7"), heap = "16g", limitSec = lim)
+      def lim2 = math.max(30L, math.min((remaining - 25).toLong, 170L))
       val (v32, v8) =
-        if (waveVisits % 2 == 0) { val a = run32(); val b = run8(); (a, b) }
-        else { val b = run8(); val a = run32(); (a, b) }
+        if (waveVisits % 2 == 0) { val a = run32(share); val b = run8(lim2); (a, b) }
+        else { val b = run8(share); val a = run32(lim2); (a, b) }
       if (reduced) { t8r = math.max(t8r, v8); t32r = math.max(t32r, v32) }
       else { t8 = math.max(t8, v8); t32 = math.max(t32, v32) }
       waveVisits += 1
@@ -645,6 +707,25 @@ object Bench {
           } else putRaw("queries_truncated", "true")
         }
       } finally { spark.stop(); cleanupLocalDir() }
+    }
+
+    // ---- shared input pre-build: one full-width generation, every
+    // subprocess visit reads the same tmpfs parquet (see writeSharedInputs
+    // scaladoc for why this is the budget lever, not a timing change) -----
+    if ((phases("cluster") || phases("wave")) &&
+        sys.env.getOrElse("SPARK_GRAFT_SHARED_INPUTS", "true") != "false" &&
+        remaining > 60) {
+      try {
+        val dir = localDir() + "-shared-inputs"
+        val s = session(cpus)
+        try writeSharedInputs(s, benchN, dir)
+        finally { s.stop() }
+        sharedInputDir = Some(dir)
+        putRaw("shared_inputs", "true")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] shared input pre-build failed: $e")
+      }
     }
 
     // ---- visit 1: N vs 4N separate executor JVMs (local-cluster) ---------
@@ -758,6 +839,16 @@ object Bench {
       put("scaling_efficiency", threadEff)
       putRaw("scaling_efficiency_source",
         "\"thread_local8_to_local32 (cluster family unavailable)\"")
+    }
+    // drop the shared input pre-build (tmpfs); a force-killed run leaves it
+    // behind harmlessly — the next run overwrites it
+    sharedInputDir.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      val fd = new java.io.File(d)
+      if (fd.exists()) rm(fd)
     }
     put("bench_elapsed_sec", elapsed)
     emit(sfDir)
