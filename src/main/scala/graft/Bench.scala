@@ -575,7 +575,15 @@ object Bench {
       // past 170s in round 5's rehearsal), drop to N/4 × 1 rep — both
       // configs of a visit ALWAYS run the same (n, reps), and reduced-N
       // bests are tracked separately so a ratio never mixes job sizes.
-      val share = math.max(30L, math.min(((remaining - 25) / 2).toLong, 170L))
+      // cross-family reservation: while the OTHER family still has no
+      // complete pair, cap this visit's per-config share so a churn-phase
+      // kill here can't consume the whole scaling budget and leave the
+      // other family unmeasured (the r5 official-run failure: one cluster
+      // visit ate 245s, the wave phase never ran, and the session ended
+      // with NO complete family)
+      val otherPending = phases("wave") && !(t8 > 0 && t32 > 0)
+      val share = math.max(30L, math.min(((remaining - 25) / 2).toLong,
+        if (otherPending) 100L else 170L))
       // tight share → keep the FULL job size and drop to 1 rep first (the
       // 8M plateau needs its ramp amortized; the r5 rehearsal showed N/4×1
       // is ramp-dominated and measures 3-6× under the plateau — worse than
@@ -594,7 +602,8 @@ object Bench {
       // config finishes early (shared inputs), the saved time must not be
       // thrown away while the other side dies at a stale half-share (the
       // r5 one-sided-family mode)
-      def lim2 = math.max(30L, math.min((remaining - 25).toLong, 170L))
+      def lim2 = math.max(30L, math.min((remaining - 25).toLong,
+        if (otherPending) 120L else 170L))
       val (v4, v1) =
         if (clusterVisits % 2 == 0) { val a = run4(share); val b = run1(lim2); (a, b) }
         else { val b = run1(share); val a = run4(lim2); (a, b) }
@@ -649,7 +658,11 @@ object Bench {
       // same alternating first-config ordering and up-front budget split
       // as clusterVisit (incl. the reduced-N fallback, tracked separately)
       Thread.sleep(5000)
-      val share = math.max(30L, math.min(((remaining - 25) / 2).toLong, 170L))
+      // same cross-family reservation as clusterVisit: never let this
+      // family's first visit starve a still-unmeasured cluster family
+      val otherPending = phases("cluster") && !(e1 > 0 && e4 > 0)
+      val share = math.max(30L, math.min(((remaining - 25) / 2).toLong,
+        if (otherPending) 100L else 170L))
       val reduced = share < 60
       val (nEff, repsEff) =
         if (reduced) (math.max(benchN / 4, 500000L), 1)
@@ -659,7 +672,8 @@ object Bench {
         pin = None, heap = "16g", limitSec = lim)
       def run8(lim: Long) = benchOne(s"local[8]", nEff, repsEff,
         pin = Some("0-7"), heap = "16g", limitSec = lim)
-      def lim2 = math.max(30L, math.min((remaining - 25).toLong, 170L))
+      def lim2 = math.max(30L, math.min((remaining - 25).toLong,
+        if (otherPending) 120L else 170L))
       val (v32, v8) =
         if (waveVisits % 2 == 0) { val a = run32(share); val b = run8(lim2); (a, b) }
         else { val b = run8(share); val a = run32(lim2); (a, b) }
@@ -728,10 +742,17 @@ object Bench {
       }
     }
 
-    // ---- visit 1: N vs 4N separate executor JVMs (local-cluster) ---------
-    phase("cluster") { clusterVisit() }
+    // ---- visit 1 of each family. The THREAD family runs first: it is the
+    // churn-robust one (two single-JVM subprocesses, no master/worker
+    // spawn), so on a kernel-interference day at least one family always
+    // completes; the executor family stays the pre-declared headline and
+    // gets the bigger share (its cross-family cap lifts once the thread
+    // pair exists) plus broken-family priority in the revisit loop. -------
     phase("wave") {
-      if (remaining > 150) waveVisit()
+      if (remaining > 90) waveVisit()
+    }
+    phase("cluster") {
+      if (remaining > 55) clusterVisit()
     }
 
     // ---- opt-in phase: engine-level CrawlJob scaling ----------------------

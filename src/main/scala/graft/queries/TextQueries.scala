@@ -357,49 +357,57 @@ object TextQueries {
     * A band collision means the pair shares its band's min-shingles, so
     * every candidate has intersection ≥ 1 — inner joins are lossless here.
     */
+  /** Shared candidate-generation + verification pipeline: 3-word shingles →
+    * `nHash` MinHashes → 2-row LSH bands → per-band candidate pairs → exact
+    * Jaccard on candidates only. Output: (doc_a, doc_b, jaccard_milli).
+    * q45 runs it with 6 hashes (3 bands); q66/q67 with 8 (4 bands — higher
+    * recall for the cluster graph). Scale shape is the banded/bucketed one
+    * throughout: no O(n²) stage, verification cost O(candidates·shingles).
+    */
+  private def lshVerifiedPairs(aug: DataFrame, nHash: Int): DataFrame = {
+    val sh = aug.filter(size(split(trim(col("text")), " ")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(split(trim(text),' ')) - 2), " +
+          "i -> array_join(slice(split(trim(text),' '), i, 3), ' '))"))
+        .as("shingle"))
+      .distinct()
+    val mh = sh.select(col("doc_id"), col("shingle"),
+        explode(array((0 until nHash).map(lit): _*)).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("shingle"))
+        .cast("binary"))).as("minhash"))
+    val bands = mh.withColumn("band", (col("j") / 2).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws("#",
+        max(when(col("j") % 2 === 0, col("minhash"))),
+        max(when(col("j") % 2 === 1, col("minhash")))).as("band_key"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(1000.0) * col("n_inter") /
+          (col("n_a") + col("n_b") - col("n_inter"))).cast("long")
+          .as("jaccard_milli"))
+  }
+
   val qJaccardLshVerify = Q(
     "q45_jaccard_lsh_verify",
-    (s, dir) => {
-      val aug = docsAug(s, dir)
-      val sh = aug.filter(size(split(trim(col("text")), " ")) >= 3)
-        .select(col("doc_id"), explode(
-          expr("transform(sequence(1, size(split(trim(text),' ')) - 2), " +
-            "i -> array_join(slice(split(trim(text),' '), i, 3), ' '))"))
-          .as("shingle"))
-        .distinct()
-      val mh = sh.select(col("doc_id"), col("shingle"),
-          explode(array((0 until 6).map(lit): _*)).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("shingle"))
-          .cast("binary"))).as("minhash"))
-      val bands = mh.withColumn("band", (col("j") / 2).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(concat_ws("#",
-          max(when(col("j") % 2 === 0, col("minhash"))),
-          max(when(col("j") % 2 === 1, col("minhash")))).as("band_key"))
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val inter = pairs
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-          Seq("doc_b", "shingle"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-          "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          floor(lit(1000.0) * col("n_inter") /
-            (col("n_a") + col("n_b") - col("n_inter"))).cast("long")
-            .as("jaccard_milli"))
-    },
+    (s, dir) => lshVerifiedPairs(docsAug(s, dir), 6),
     Some(s"WITH $AugSql,\n" +
       """sh AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -569,7 +577,167 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(ptext, '555-[0-9]{4}')) AS INT) AS n_phones
         |FROM pii""".stripMargin))
 
+  /** q66/q67 fixture corpus: docs_aug (exact-copy pairs) plus BRIDGE docs —
+    * for every doc d with d % 11 == 3, a doc (d + 30000) whose text is the
+    * first half of d's words followed by the first half of (d+1)'s words.
+    * A bridge is ~⅓-Jaccard-similar to EACH source but the two sources
+    * share (almost) nothing, so the corpus contains genuine multi-hop
+    * near-dup chains (A~bridge~C with no A~C edge) — the case where
+    * pairwise keep-min dedup is wrong and connected components is required.
+    */
+  private def aug66(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    def w = split(trim(col("text")), " ")
+    val halves = d.select(col("doc_id"),
+      array_join(slice(w, lit(1), ceil(size(w) / lit(2.0)).cast("int")), " ")
+        .as("half"))
+    val bridges = halves.as("a")
+      .join(halves.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .where(col("a.doc_id") % 11 === 3)
+      .select((col("a.doc_id") + 30000).as("doc_id"),
+        concat(col("a.half"), lit(" "), col("b.half")).as("text"))
+    docsAug(s, dir).select(col("doc_id"), col("text")).unionAll(bridges)
+  }
+
+  /** Spark side of the q66/q67 cluster assignment: verified LSH pairs with
+    * Jaccard ≥ 200‰ become the edge list; graft.dedup.Components (alternating
+    * large-star/small-star, O(log n) shuffle rounds) labels every doc with
+    * the minimum doc_id of its transitive near-dup cluster.
+    */
+  private def components66(s: SparkSession, dir: String): DataFrame = {
+    val aug = aug66(s, dir)
+    val edges = lshVerifiedPairs(aug, 8)
+      .where(col("jaccard_milli") >= 200)
+      .select(col("doc_a").cast("long").as("u"),
+        col("doc_b").cast("long").as("v"))
+    graft.dedup.Components.connected(edges, aug.select(col("doc_id")))
+      .select(col("node").cast("long").as("doc_id"),
+        col("component").cast("long").as("cluster_id"))
+  }
+
+  /** DuckDB oracle CTE chain shared by q66/q67 — the identical pipeline
+    * (bridges, shingles, 8 MinHashes, 4 bands, exact-Jaccard verify, edge
+    * threshold), with the distributed components step expressed as a
+    * RECURSIVE transitive closure + MIN(reachable) — an exact (if
+    * quadratic-in-cluster-size) specification the Spark algorithm must
+    * match node-for-node.
+    */
+  private val Comp66Sql =
+    s"""WITH RECURSIVE $AugSql,
+       |halves AS (
+       |  SELECT doc_id,
+       |    array_to_string(w[1:CAST(ceil(len(w)/2.0) AS INT)], ' ') AS half
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+       |),
+       |aug66 AS (
+       |  SELECT doc_id, text FROM docs_aug
+       |  UNION ALL
+       |  SELECT a.doc_id + 30000, a.half || ' ' || b.half
+       |  FROM halves a JOIN halves b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id % 11 = 3
+       |),
+       |sh66 AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM aug66) d,
+       |    unnest(range(1, len(w) - 1)) u(i)
+       |),
+       |mh66 AS (
+       |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS minhash
+       |  FROM sh66, unnest([0,1,2,3,4,5,6,7]) s(j) GROUP BY doc_id, j
+       |),
+       |bands66 AS (
+       |  SELECT doc_id, CAST(j // 2 AS INT) AS band,
+       |    MAX(CASE WHEN j % 2 = 0 THEN minhash END) || '#' ||
+       |    MAX(CASE WHEN j % 2 = 1 THEN minhash END) AS band_key
+       |  FROM mh66 GROUP BY doc_id, j // 2
+       |),
+       |pairs66 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands66 a JOIN bands66 b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |),
+       |sizes66 AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh66 GROUP BY doc_id),
+       |inter66 AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+       |  FROM pairs66 p
+       |  JOIN sh66 a ON a.doc_id = p.doc_a
+       |  JOIN sh66 b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+       |  GROUP BY p.doc_a, p.doc_b
+       |),
+       |verified66 AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(floor(1000.0 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter))
+       |      AS BIGINT) AS jm
+       |  FROM inter66 i
+       |  JOIN sizes66 sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes66 sb ON sb.doc_id = i.doc_b
+       |),
+       |edges66 AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM verified66 WHERE jm >= 200
+       |  UNION
+       |  SELECT doc_b, doc_a FROM verified66 WHERE jm >= 200
+       |),
+       |reach66 AS (
+       |  SELECT doc_id AS a, doc_id AS b FROM aug66
+       |  UNION
+       |  SELECT r.a, e.v FROM reach66 r JOIN edges66 e ON e.u = r.b
+       |),
+       |comp66 AS (
+       |  SELECT CAST(a AS BIGINT) AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+       |  FROM reach66 GROUP BY a
+       |)""".stripMargin
+
+  /** Near-dup CLUSTER assignment (q66): LSH candidates → exact-Jaccard
+    * verify → connected components — the step a 100 TB dedup pipeline runs
+    * after q45 so transitively-similar documents collapse to ONE cluster id
+    * (pairs alone can't: A~B~C with no A~C pair). The fixture plants
+    * multi-hop bridge chains (see aug66); at sf0.01 this yields ~490
+    * clusters incl. size-3/4 chains whose cluster id needs 2 hops to reach.
+    * Scale: candidate gen is banded, verification O(candidates), and the
+    * components step is O(log n) shuffle rounds (Components scaladoc).
+    */
+  val qDedupComponents = Q(
+    "q66_dedup_components",
+    (s, dir) => components66(s, dir),
+    Some(Comp66Sql + "\nSELECT doc_id, cluster_id FROM comp66"))
+
+  /** Canonical-document selection (q67): one keeper per near-dup cluster —
+    * the longest text wins (quality proxy), ties to the smallest doc_id.
+    * Output (cluster_id, keeper_id, n_docs) is the dedup manifest a corpus
+    * build joins against to drop the other n_docs-1 copies. Scale: one
+    * window over partition-by-cluster (the same key the components step
+    * already shuffled on) + one partial-agg groupBy.
+    */
+  val qDedupCanonical = Q(
+    "q67_dedup_canonical",
+    (s, dir) => {
+      val comp = components66(s, dir)
+      val ranked = comp.join(aug66(s, dir), Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(length(col("text")).desc, col("doc_id").asc)))
+      ranked.groupBy(col("cluster_id"))
+        .agg(min(when(col("rn") === 1, col("doc_id"))).cast("long")
+            .as("keeper_id"),
+          count(lit(1)).as("n_docs"))
+        .select(col("cluster_id"), col("keeper_id"), col("n_docs"))
+    },
+    Some(Comp66Sql +
+      """,
+        |ranked66 AS (
+        |  SELECT c.cluster_id, c.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY length(a.text) DESC, c.doc_id ASC) AS rn
+        |  FROM comp66 c JOIN aug66 a ON a.doc_id = c.doc_id
+        |)
+        |SELECT cluster_id,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+        |  COUNT(*) AS n_docs
+        |FROM ranked66 GROUP BY cluster_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qRegexTokens, qDedupExact, qDedupNorm, qTokenCount, qQualityScore,
     qLangId, qFingerprint, qShingles, qMinHash, qMinHashLsh, qNgramJaccard,
-    qSimHash, qJaccardLshVerify, qRepetition, qParaDedup, qPiiRedact)
+    qSimHash, qJaccardLshVerify, qRepetition, qParaDedup, qPiiRedact,
+    qDedupComponents, qDedupCanonical)
 }
