@@ -556,6 +556,10 @@ object Bench {
     var e1r = 0.0; var e4r = 0.0 //     reduced-N fallback bests (never
     //                                  mixed with full-N in one ratio)
     var t8 = 0.0; var t32 = 0.0
+    // true while some family has exactly ONE of its full-N configs measured
+    // — one targeted config run away from a complete pair
+    def oneSidedFullN: Boolean =
+      ((t8 > 0) != (t32 > 0)) || ((e1 > 0) != (e4 > 0))
     var bestPair = 0.0
     val visitPairs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var clusterVisits = 0
@@ -589,6 +593,10 @@ object Bench {
       // is ramp-dominated and measures 3-6× under the plateau — worse than
       // no evidence). N/4 only as a last resort on a nearly-spent budget.
       val reduced = share < 60
+      // a reduced-N visit is labeled ramp-junk; when some family is ONE
+      // full-N config away from a complete pair, that tail budget belongs
+      // to the completion pass (end of main) instead
+      if (reduced && oneSidedFullN) return
       val (nEff, repsEff) =
         if (reduced) (math.max(clusterN / 4, 500000L), 1)
         else if (share < 140) (clusterN, 1)
@@ -664,6 +672,7 @@ object Bench {
       val share = math.max(30L, math.min(((remaining - 25) / 2).toLong,
         if (otherPending) 100L else 170L))
       val reduced = share < 60
+      if (reduced && oneSidedFullN) return
       val (nEff, repsEff) =
         if (reduced) (math.max(benchN / 4, 500000L), 1)
         else if (share < 140) (benchN, 1)
@@ -820,6 +829,41 @@ object Bench {
         }
         if (waveBroken && !clusterBroken) { tryWave(); tryCluster() }
         else { tryCluster(); tryWave() }
+      }
+      // ---- completion pass: a one-sided family is exactly ONE config from
+      // a full-N pair, so the tail budget buys that missing config directly
+      // (a reduced-N visit with the same budget buys only ramp-dominated
+      // numbers that can never join a full-N ratio). Executor family first —
+      // it is the pre-declared headline. Retries while budget lasts: a
+      // churn-killed completion leaves the family one-sided and eligible
+      // again. -------------------------------------------------------------
+      var completions = 0
+      while (oneSidedFullN && remaining > 70 && completions < 4) {
+        val lim = math.max(45L, math.min((remaining - 20).toLong, 170L))
+        if (e1 > 0 && e4 == 0)
+          e4 = math.max(e4, benchOne("local-cluster[4,8,10240]", clusterN, 1,
+            pin = None, heap = "6g", limitSec = lim))
+        else if (e4 > 0 && e1 == 0)
+          e1 = math.max(e1, benchOne("local-cluster[1,8,10240]", clusterN, 1,
+            pin = Some("0-7"), heap = "6g", limitSec = lim))
+        else if (t8 > 0 && t32 == 0)
+          t32 = math.max(t32, benchOne("local[32]", benchN, 1,
+            pin = None, heap = "16g", limitSec = lim))
+        else if (t32 > 0 && t8 == 0)
+          t8 = math.max(t8, benchOne("local[8]", benchN, 1,
+            pin = Some("0-7"), heap = "16g", limitSec = lim))
+        completions += 1
+      }
+      if (completions > 0) {
+        if (e1 > 0) put("urls_per_sec_1_executor", e1, "%.0f")
+        if (e4 > 0) put("urls_per_sec_4_executors", e4, "%.0f")
+        if (e1 > 0 && e4 > 0)
+          put("executor_scaling_efficiency", e4 / (4.0 * e1))
+        if (t8 > 0) put("urls_per_sec_local8", t8, "%.0f")
+        if (t32 > 0) put("urls_per_sec_local32", t32, "%.0f")
+        if (t8 > 0 && t32 > 0)
+          put("thread_scaling_efficiency", t32 / (4.0 * t8))
+        putRaw("completion_runs", completions.toString)
       }
       // honesty markers: a still-inverted family after all visits means the
       // whole session was churn-degraded on the 4N side — flag it so the

@@ -736,8 +736,62 @@ object TextQueries {
         |  COUNT(*) AS n_docs
         |FROM ranked66 GROUP BY cluster_id""".stripMargin))
 
+  /** Deterministic stratified sampling (q68): the reproducible-subset op
+    * every corpus build needs — keep a per-language fraction of documents
+    * chosen by a salted content hash, NOT by rand() (reruns and backfills
+    * must select the SAME rows on any cluster size / partitioning). The
+    * decision is a lexicographic compare of the doc's md5-hex prefix
+    * against a per-stratum cutoff: "28" keeps hex prefixes 00..28 ≈ 41/256
+    * ≈ 16%. Pure per-row codegen'd projection+filter — no shuffle, no
+    * rand(), trivially pushes to the scan at 100 TB.
+    */
+  val qHashSample = Q(
+    "q68_hash_sample",
+    (s, dir) => {
+      val cut = when(col("lang") === "en", lit("28"))  // ≈16% of the big stratum
+        .when(col("lang") === "zh", lit("a3"))         // ≈64% of a small one
+        .otherwise(lit("51"))                          // ≈32% elsewhere
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))
+            .cast("binary")), 1, 2).as("bucket"), cut.as("cut"))
+        .where(col("bucket") <= col("cut"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    },
+    Some("""WITH s AS (
+        |  SELECT doc_id, lang,
+        |    substring(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |    CASE lang WHEN 'en' THEN '28' WHEN 'zh' THEN 'a3'
+        |              ELSE '51' END AS cut
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, bucket FROM s WHERE bucket <= cut""".stripMargin))
+
+  /** Corpus mixing by integer repetition (q69): upsample high-value strata
+    * by emitting k deterministic copies per document (epoch-level data
+    * mixing, e.g. Wikipedia ×3 in GPT-3/Pile-style recipes), each copy
+    * tagged with its repetition index so a downstream shuffle can interleave
+    * epochs. Pure per-row explode of a bounded sequence — no shuffle; at
+    * 100 TB the multiplier changes bytes written, not the plan shape.
+    */
+  val qMixUpsample = Q(
+    "q69_mix_upsample",
+    (s, dir) => {
+      val k = when(col("lang") === "en", lit(1))
+        .when(col("lang") === "zh", lit(3)).otherwise(lit(2))
+      docs(s, dir).select(col("doc_id"), col("lang"), k.as("k"))
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), col("k"))).as("rep"))
+    },
+    Some("""WITH k AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 3 ELSE 2 END AS k
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, CAST(unnest(range(1, k + 1)) AS INT) AS rep
+        |FROM k""".stripMargin))
+
   val all: Seq[Q] = Seq(qRegexTokens, qDedupExact, qDedupNorm, qTokenCount, qQualityScore,
     qLangId, qFingerprint, qShingles, qMinHash, qMinHashLsh, qNgramJaccard,
     qSimHash, qJaccardLshVerify, qRepetition, qParaDedup, qPiiRedact,
-    qDedupComponents, qDedupCanonical)
+    qDedupComponents, qDedupCanonical, qHashSample, qMixUpsample)
 }
