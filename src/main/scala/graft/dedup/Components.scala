@@ -34,7 +34,7 @@ object Components {
     * m(u) = min(N(u) ∪ {u}). Keeps components intact (m is in u's
     * component) while flattening tall chains from the big side.
     */
-  private[dedup] def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val und = e.select(col("u"), col("v"))
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val mins = und.groupBy(col("u")).agg(min(col("v")).as("mv"))
@@ -50,7 +50,7 @@ object Components {
     * neighbors (and itself) to m(u) = min of that set. Edges are first
     * oriented big→small so each undirected edge is processed once.
     */
-  private[dedup] def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     val ed = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))

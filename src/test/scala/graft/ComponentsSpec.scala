@@ -76,6 +76,33 @@ class ComponentsSpec extends AnyFunSuite {
     (100L to 109L).foreach(i => assert(got(i) == 100L))
   }
 
+  test("plan audit: star rounds are key-partitioned joins — no cartesian, " +
+      "no broadcast-nested-loop") {
+    // the physical shape that must survive a 10^9-edge dedup graph: every
+    // round is groupBy(node)+equi-join on the node key; a cartesian or BNLJ
+    // anywhere means an O(n^2) round snuck in
+    val e = (0L until 200L).map(i => (i, (i + 7) % 200L)).toDF("u", "v")
+    for (df <- Seq(graft.dedup.Components.largeStar(e),
+        graft.dedup.Components.smallStar(e))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(800))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    }
+  }
+
+  test("a 256-node path converges well inside the round bound (log-round " +
+      "behavior, not linear label propagation)") {
+    // naive min-label propagation needs ~n rounds on a path; the star
+    // algorithm must land in O(log n). maxRounds=24 would abort a linear
+    // algorithm on this graph (which needs ~256).
+    val n = (0L until 256L)
+    val e = (0L until 255L).map(i => (i, i + 1))
+    val got = Components.connected(e.toDF("u", "v"), n.toDF("id"),
+      maxRounds = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 256 && got.values.forall(_ == 0L))
+  }
+
   test("self-loops and duplicate/reversed edges are harmless") {
     val got = run(Seq(1L, 2L, 3L),
       Seq((1L, 1L), (2L, 1L), (1L, 2L), (2L, 1L), (3L, 3L)))
