@@ -790,8 +790,125 @@ object TextQueries {
         |SELECT doc_id, lang, CAST(unnest(range(1, k + 1)) AS INT) AS rep
         |FROM k""".stripMargin))
 
+  /** Eval-set decontamination (q70): drop training documents that share any
+    * word 8-gram with a held-out benchmark (Lee et al. 2021 / GPT-3 appendix
+    * recipe — n-gram overlap, not fuzzy match). Eval set = documents with
+    * doc_id % 97 == 5; the training side reuses the q64 two-paragraph
+    * composite (own text + partner (doc_id*31+7)%N's text), so a document
+    * whose PARTNER is an eval doc is genuinely contaminated through its
+    * second paragraph — planted positives, not self-matches. Output is the
+    * per-doc verdict (n_shared_8grams, contaminated).
+    * Scale: the eval n-gram set is tiny relative to the corpus → broadcast
+    * hash join against the exploded corpus n-grams; the count aggregates
+    * map-side on doc_id. No corpus-vs-corpus join anywhere.
+    */
+  val qDecontaminate = Q(
+    "q70_decontaminate",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val withN = d.crossJoin(d.agg(count(lit(1)).as("n")))
+        .withColumn("pid", (col("doc_id") * 31 + 7) % col("n"))
+      val partner = d.select(col("doc_id").as("pid"), col("text").as("ptext"))
+      val train = withN.join(partner, Seq("pid"))
+        .where(col("doc_id") % 97 =!= 5)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("ptext")).as("ttext"))
+      // CASE guard: Spark's sequence(1, 0) DESCENDS ([1,0]) instead of
+      // returning empty like DuckDB's range — sub-8-word texts must yield
+      // zero grams on both engines
+      def grams8(t: String) = expr(
+        s"""CASE WHEN size(split(trim($t),' ')) >= 8
+           |  THEN transform(sequence(1, size(split(trim($t),' ')) - 7),
+           |    i -> array_join(slice(split(trim($t),' '), i, 8), ' '))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+      val evalG = d.where(col("doc_id") % 97 === 5)
+        .select(explode(grams8("text")).as("g8")).distinct()
+      val trainG = train
+        .select(col("doc_id"), explode(grams8("ttext")).as("g8")).distinct()
+      val hits = trainG.join(evalG, Seq("g8"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_8grams"))
+      train.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared_8grams"), lit(0L)).as("n_shared_8grams"),
+          (coalesce(col("n_shared_8grams"), lit(0L)) > 0).as("contaminated"))
+    },
+    Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |train AS (
+        |  SELECT d.doc_id, d.text || ' ' || p.text AS ttext
+        |  FROM documents d CROSS JOIN nn
+        |  JOIN documents p ON p.doc_id = (d.doc_id * 31 + 7) % nn.n
+        |  WHERE d.doc_id % 97 <> 5
+        |),
+        |evalg AS (
+        |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g8
+        |  FROM (SELECT string_split(trim(text), ' ') AS w
+        |        FROM documents WHERE doc_id % 97 = 5) d,
+        |    unnest(range(1, greatest(len(w) - 6, 1))) u(i)
+        |),
+        |traing AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g8
+        |  FROM (SELECT doc_id, string_split(trim(ttext), ' ') AS w FROM train) d,
+        |    unnest(range(1, greatest(len(w) - 6, 1))) u(i)
+        |),
+        |hits AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_shared_8grams
+        |  FROM traing t JOIN evalg e ON e.g8 = t.g8
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT tr.doc_id,
+        |  COALESCE(h.n_shared_8grams, 0) AS n_shared_8grams,
+        |  COALESCE(h.n_shared_8grams, 0) > 0 AS contaminated
+        |FROM train tr LEFT JOIN hits h ON h.doc_id = tr.doc_id""".stripMargin))
+
+  /** End-to-end corpus build (q71): the ops COMPOSED the way a training-data
+    * pipeline actually runs them — quality gate (≥20 words) → corpus-wide
+    * exact dedup (first-wins keeper, q20) → deterministic stratified sample
+    * (q68 cutoffs) → per-language manifest (docs kept, whitespace tokens).
+    * One query proving the stages chain without materialization boundaries;
+    * Catalyst pipelines the filters into the scan and the only shuffles are
+    * the dedup window key and the final tiny aggregate.
+    */
+  val qCorpusBuild = Q(
+    "q71_corpus_build",
+    (s, dir) => {
+      val gated = docs(s, dir)
+        .where(size(split(trim(col("text")), " ")) >= 20)
+      val kept = gated.withColumn("rn", row_number().over(
+          Window.partitionBy(col("text")).orderBy(col("doc_id").asc)))
+        .where(col("rn") === 1)
+      val cut = when(col("lang") === "en", lit("28"))
+        .when(col("lang") === "zh", lit("a3")).otherwise(lit("51"))
+      val sampled = kept.where(
+        substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 2) <= cut)
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), " ")).cast("long"))
+            .as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"))
+    },
+    Some("""WITH gated AS (
+        |  SELECT * FROM documents
+        |  WHERE len(string_split(trim(text), ' ')) >= 20
+        |),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM gated) t
+        |  WHERE rn = 1
+        |),
+        |sampled AS (
+        |  SELECT * FROM kept
+        |  WHERE substring(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |    CASE lang WHEN 'en' THEN '28' WHEN 'zh' THEN 'a3' ELSE '51' END
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT)) AS n_tokens
+        |FROM sampled GROUP BY lang""".stripMargin))
+
   val all: Seq[Q] = Seq(qRegexTokens, qDedupExact, qDedupNorm, qTokenCount, qQualityScore,
     qLangId, qFingerprint, qShingles, qMinHash, qMinHashLsh, qNgramJaccard,
     qSimHash, qJaccardLshVerify, qRepetition, qParaDedup, qPiiRedact,
-    qDedupComponents, qDedupCanonical, qHashSample, qMixUpsample)
+    qDedupComponents, qDedupCanonical, qHashSample, qMixUpsample,
+    qDecontaminate, qCorpusBuild)
 }
