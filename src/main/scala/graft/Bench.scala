@@ -390,11 +390,14 @@ object Bench {
     // the r1-r4 contract lines (2,157 chars) were truncated mid-JSON even as
     // the final line, so `parsed` stayed null four rounds running. Budget the
     // stdout line to 1,800 chars: drop the prose scaling_note entirely and
-    // include only as many per-query timings as fit (greedy, name order —
-    // the omitted tail plus everything else is in BENCH_LAST.json).
+    // include only as many per-query timings as fit. Greedy order = MOST
+    // EXPENSIVE FIRST: when ~20 of 71 timings must be cut, dropping the
+    // 0.1-second projections loses nothing while the crawl-loop and dedup
+    // pipelines (the timings a reader actually studies) always survive; the
+    // omitted tail plus everything else is in BENCH_LAST.json.
     val base =
       f""""metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"$extraPart,"detail":"BENCH_LAST.json""""
-    println(compactLine(base, qs))
+    println(compactLine(base, qs.sortBy(-_._2)))
     System.out.flush()
   }
 

@@ -71,18 +71,33 @@ object Components {
     */
   def connected(edges: DataFrame, nodes: DataFrame,
       maxRounds: Int = 64): DataFrame = {
-    val spark = nodes.sparkSession
+    // per-round convergence probe: one aggregate job computing an
+    // order-independent signature (count, bit_xor of a 64-bit row hash —
+    // XOR never overflows ANSI arithmetic and the edge set is distinct, so
+    // no self-cancelling duplicates); only a signature MATCH pays for the
+    // exact two-way except confirmation, so the steady-state cost is one
+    // action per round, and the final round's equality is still verified
+    // exactly (a hash collision can defer but never fake convergence)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
     var cur = edges.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    var curSig = sig(cur)
     var rounds = 0
-    var done = cur.isEmpty
+    var done = curSig._1 == 0L
     while (!done && rounds < maxRounds) {
       val nxt = smallStar(largeStar(cur)).localCheckpoint()
-      done = nxt.exceptAll(cur).isEmpty && cur.exceptAll(nxt).isEmpty
+      val nxtSig = sig(nxt)
+      done = nxtSig == curSig &&
+        nxt.exceptAll(cur).isEmpty && cur.exceptAll(nxt).isEmpty
       cur = nxt
+      curSig = nxtSig
       rounds += 1
     }
     if (!done && rounds >= maxRounds)
