@@ -103,6 +103,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.size == 256 && got.values.forall(_ == 0L))
   }
 
+  test("20k-node stress: one mega-component + thousands of islands " +
+      "(the skewed dedup-graph shape) matches union-find") {
+    // shape of a real dedup graph: one giant template-boilerplate cluster
+    // (here 10k nodes chained + random chords into it) plus many tiny
+    // components and singletons; large-star must shard the hot center
+    val rnd = new scala.util.Random(7)
+    val mega = (0L until 10000L).map(i => (i, i + 1)) ++            // chain
+      (0 until 2000).map(_ => (rnd.nextInt(10000).toLong,
+        rnd.nextInt(10000).toLong))                                  // chords
+    val pairs = (0 until 3000).map { i =>
+      val b = 20000L + i * 3
+      (b, b + 1)                                                     // islands
+    }
+    val nodes = (0L to 10000L) ++ (20000L until 29000L)
+    val edges = mega ++ pairs
+    val want = ufComponents(nodes.map(x => x: Long), edges)
+    val got = run(nodes, edges)
+    assert(got.size == want.size)
+    assert(got == want)
+    assert((0L to 10000L).forall(i => got(i) == 0L))
+  }
+
   test("self-loops and duplicate/reversed edges are harmless") {
     val got = run(Seq(1L, 2L, 3L),
       Seq((1L, 1L), (2L, 1L), (1L, 2L), (2L, 1L), (3L, 3L)))
