@@ -567,14 +567,12 @@ object Bench {
     val visitPairs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var clusterVisits = 0
     var lastVisitCost = Double.MaxValue
-    def clusterVisit(): Unit = {
+    /** Returns true when the visit actually measured (false = declined and
+      * left the budget for the completion pass, so callers must not loop on
+      * a declining visit).
+      */
+    def clusterVisit(): Boolean = {
       val v0 = elapsed
-      // settle, then ALTERNATE which config runs first across visits
-      // (round-3 advice: always running the noise-fragile 4x config right
-      // after the settle gave it a one-sided host-state advantage, biasing
-      // the efficiency ratio's numerator upward); alternating averages the
-      // post-settle benefit across both sides of the ratio
-      Thread.sleep(5000)
       // Split the remaining budget between the two configs UP FRONT (the
       // r4 failure mode: the first run consumed the whole slice, the
       // second got a 45s stub → one zero → NO scaling evidence). When the
@@ -598,8 +596,15 @@ object Bench {
       val reduced = share < 60
       // a reduced-N visit is labeled ramp-junk; when some family is ONE
       // full-N config away from a complete pair, that tail budget belongs
-      // to the completion pass (end of main) instead
-      if (reduced && oneSidedFullN) return
+      // to the completion pass (end of main) instead — decline BEFORE the
+      // settle sleep so a declining visit costs nothing
+      if (reduced && oneSidedFullN) return false
+      // settle, then ALTERNATE which config runs first across visits
+      // (round-3 advice: always running the noise-fragile 4x config right
+      // after the settle gave it a one-sided host-state advantage, biasing
+      // the efficiency ratio's numerator upward); alternating averages the
+      // post-settle benefit across both sides of the ratio
+      Thread.sleep(5000)
       val (nEff, repsEff) =
         if (reduced) (math.max(clusterN / 4, 500000L), 1)
         else if (share < 140) (clusterN, 1)
@@ -658,24 +663,24 @@ object Bench {
           visitPairs.map(p => f"$p%.3f").mkString("[", ",", "]"))
       }
       putRaw("cluster_visits", clusterVisits.toString)
+      true
     }
 
     // ---- thread scaling (pinned local[8] vs local[32]) — default --------
     var waveVisitCost = Double.MaxValue
     var waveVisits = 0
     var t8r = 0.0; var t32r = 0.0
-    def waveVisit(): Unit = {
+    def waveVisit(): Boolean = {
       val v0 = elapsed
-      // same alternating first-config ordering and up-front budget split
-      // as clusterVisit (incl. the reduced-N fallback, tracked separately)
-      Thread.sleep(5000)
-      // same cross-family reservation as clusterVisit: never let this
-      // family's first visit starve a still-unmeasured cluster family
+      // same structure as clusterVisit: cross-family reservation, decline
+      // (return false, pre-sleep) when the tail belongs to the completion
+      // pass, alternating first-config ordering, reduced-N tracked apart
       val otherPending = phases("cluster") && !(e1 > 0 && e4 > 0)
       val share = math.max(30L, math.min(((remaining - 25) / 2).toLong,
         if (otherPending) 100L else 170L))
       val reduced = share < 60
-      if (reduced && oneSidedFullN) return
+      if (reduced && oneSidedFullN) return false
+      Thread.sleep(5000)
       val (nEff, repsEff) =
         if (reduced) (math.max(benchN / 4, 500000L), 1)
         else if (share < 140) (benchN, 1)
@@ -702,6 +707,7 @@ object Bench {
         put("urls_per_sec_local32_reduced", t32r, "%.0f")
         put("thread_scaling_efficiency", t32r / (4.0 * t8r))
       }
+      true
     }
     // ---- per-query timings FIRST — a hard driver deliverable that rounds
     // 2 AND 4 lost to scaling-visit over-spend. Queries get the budget's
@@ -814,11 +820,15 @@ object Bench {
       var more = true
       while (more) {
         more = false
+        // `more` only when the visit actually MEASURED — a declining visit
+        // (reduced share while a family is one-sided) must not re-fire the
+        // loop, or it would burn the completion pass's tail budget doing
+        // nothing
         def tryCluster(): Unit =
           if (phases("cluster") && clusterVisits < maxVisits &&
               (remaining > lastVisitCost * 1.1 + 30 ||
                 (clusterBroken && remaining > 140))) {
-            clusterVisit(); more = true
+            if (clusterVisit()) more = true
           }
         def tryWave(): Unit = {
           // unknown wave cost (initial visit skipped) → budget 150s for it
@@ -827,7 +837,7 @@ object Bench {
             else waveVisitCost * 1.1 + 30
           if (phases("wave") &&
               (remaining > waveCost || (waveBroken && remaining > 140))) {
-            waveVisit(); more = true
+            if (waveVisit()) more = true
           }
         }
         if (waveBroken && !clusterBroken) { tryWave(); tryCluster() }
@@ -840,9 +850,12 @@ object Bench {
       // it is the pre-declared headline. Retries while budget lasts: a
       // churn-killed completion leaves the family one-sided and eligible
       // again. -------------------------------------------------------------
+      // remaining > 100 keeps every attempt's kill limit ≥ 80s — the r5
+      // churn dossier shows full-N runs routinely need 60-100s, so a
+      // shorter limit buys a guaranteed-killed subprocess, not evidence
       var completions = 0
-      while (oneSidedFullN && remaining > 70 && completions < 4) {
-        val lim = math.max(45L, math.min((remaining - 20).toLong, 170L))
+      while (oneSidedFullN && remaining > 100 && completions < 4) {
+        val lim = math.min((remaining - 20).toLong, 170L)
         if (e1 > 0 && e4 == 0)
           e4 = math.max(e4, benchOne("local-cluster[4,8,10240]", clusterN, 1,
             pin = None, heap = "6g", limitSec = lim))
@@ -875,6 +888,12 @@ object Bench {
       if (waveInverted) putRaw("wave_family_inverted", "true")
       if (clusterIncomplete) putRaw("cluster_family_incomplete", "true")
       if (waveIncomplete) putRaw("wave_family_incomplete", "true")
+      // zero-sided is not "incomplete" by the XOR definitions above — flag
+      // it explicitly so a no-evidence family is never silent
+      if (phases("cluster") && e1 == 0 && e4 == 0 && e1r == 0 && e4r == 0)
+        putRaw("cluster_family_unmeasured", "true")
+      if (phases("wave") && t8 == 0 && t32 == 0 && t8r == 0 && t32r == 0)
+        putRaw("wave_family_unmeasured", "true")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] extra visits failed: $e")

@@ -94,8 +94,10 @@ object Components {
     while (!done && rounds < maxRounds) {
       val nxt = smallStar(largeStar(cur)).localCheckpoint()
       val nxtSig = sig(nxt)
-      done = nxtSig == curSig &&
-        nxt.exceptAll(cur).isEmpty && cur.exceptAll(nxt).isEmpty
+      // one-sided except suffices: both sets are distinct() and the matched
+      // signature already guarantees equal cardinality, so nxt ⊆ cur with
+      // |nxt| = |cur| means nxt = cur
+      done = nxtSig == curSig && nxt.exceptAll(cur).isEmpty
       cur = nxt
       curSig = nxtSig
       rounds += 1

@@ -745,23 +745,34 @@ object TextQueries {
     * ≈ 16%. Pure per-row codegen'd projection+filter — no shuffle, no
     * rand(), trivially pushes to the scan at 100 TB.
     */
+  /** Shared sampling decision for q68/q71 (SINGLE definition — the cutoffs
+    * must never diverge between the standalone sampler and the composed
+    * corpus build): per-language md5-hex cutoff ("28" ≈ 16% of the big en
+    * stratum, "a3" ≈ 64% of small zh, "51" ≈ 32% elsewhere), bucket = 2-hex
+    * prefix of md5("sample|" + doc_id).
+    */
+  private def sampleCut =
+    when(col("lang") === "en", lit("28"))
+      .when(col("lang") === "zh", lit("a3")).otherwise(lit("51"))
+  private def sampleBucket =
+    substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 2)
+  private val SampleCutSql =
+    "CASE lang WHEN 'en' THEN '28' WHEN 'zh' THEN 'a3' ELSE '51' END"
+  private val SampleBucketSql =
+    "substring(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2)"
+
   val qHashSample = Q(
     "q68_hash_sample",
-    (s, dir) => {
-      val cut = when(col("lang") === "en", lit("28"))  // ≈16% of the big stratum
-        .when(col("lang") === "zh", lit("a3"))         // ≈64% of a small one
-        .otherwise(lit("51"))                          // ≈32% elsewhere
+    (s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
-          substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))
-            .cast("binary")), 1, 2).as("bucket"), cut.as("cut"))
+          sampleBucket.as("bucket"), sampleCut.as("cut"))
         .where(col("bucket") <= col("cut"))
-        .select(col("doc_id"), col("lang"), col("bucket"))
-    },
-    Some("""WITH s AS (
+        .select(col("doc_id"), col("lang"), col("bucket")),
+    Some(s"""WITH s AS (
         |  SELECT doc_id, lang,
-        |    substring(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-        |    CASE lang WHEN 'en' THEN '28' WHEN 'zh' THEN 'a3'
-        |              ELSE '51' END AS cut
+        |    $SampleBucketSql AS bucket,
+        |    $SampleCutSql AS cut
         |  FROM documents
         |)
         |SELECT doc_id, lang, bucket FROM s WHERE bucket <= cut""".stripMargin))
@@ -876,18 +887,14 @@ object TextQueries {
       val kept = gated.withColumn("rn", row_number().over(
           Window.partitionBy(col("text")).orderBy(col("doc_id").asc)))
         .where(col("rn") === 1)
-      val cut = when(col("lang") === "en", lit("28"))
-        .when(col("lang") === "zh", lit("a3")).otherwise(lit("51"))
-      val sampled = kept.where(
-        substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))
-          .cast("binary")), 1, 2) <= cut)
+      val sampled = kept.where(sampleBucket <= sampleCut)
       sampled.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(trim(col("text")), " ")).cast("long"))
             .as("n_tokens"))
         .select(col("lang"), col("n_docs"), col("n_tokens"))
     },
-    Some("""WITH gated AS (
+    Some(s"""WITH gated AS (
         |  SELECT * FROM documents
         |  WHERE len(string_split(trim(text), ' ')) >= 20
         |),
@@ -899,8 +906,7 @@ object TextQueries {
         |),
         |sampled AS (
         |  SELECT * FROM kept
-        |  WHERE substring(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2) <=
-        |    CASE lang WHEN 'en' THEN '28' WHEN 'zh' THEN 'a3' ELSE '51' END
+        |  WHERE $SampleBucketSql <= $SampleCutSql
         |)
         |SELECT lang, COUNT(*) AS n_docs,
         |  SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT)) AS n_tokens
