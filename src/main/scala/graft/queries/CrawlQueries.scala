@@ -934,6 +934,57 @@ object CrawlQueries {
         |  FROM robots
         |) t""".stripMargin))
 
+  /** Main-content extraction (q72): boilerplate removal by link density
+    * (`graft.html.Boilerplate` — the boilerpipe/jusText signal, WSDM 2010),
+    * the generic sibling of q39's selector extraction: no knowledge of the
+    * page's structure, works on arbitrary pages. The fixture wraps each
+    * page's text in a realistic shell — nav bar (link density ~0.87),
+    * content paragraph (0.0), a mixed prose block with ONE inline link
+    * (~0.12 — must be KEPT, so the heuristic is provably not "has a link ⇒
+    * boilerplate"), footer (~0.92) — via the same SQL text on both engines.
+    * The oracle derives what correct extraction must produce: the content
+    * paragraph plus the mixed block, '\n'-joined. Scale: pure per-row
+    * parse+classify map, no shuffle — runs inside the existing parse stage.
+    */
+  private val MainContentFixtureHtml =
+    """'<html><head><title>p</title></head><body>' ||
+      |'<div class="nav"><a href="/">home</a> <a href="/about">about</a> <a href="/p/' || CAST(page_key AS STRING) || '">more</a></div>' ||
+      |'<p>' || text || '</p>' ||
+      |'<div>read more from <a href="/p/' || CAST((page_key + 1) % 97 AS STRING) || '">here</a> after the jump</div>' ||
+      |'<div class="footer"><a href="/terms">terms</a> <a href="/privacy">privacy</a></div>' ||
+      |'</body></html>'""".stripMargin
+
+  val qMainContent = Q(
+    "q72_main_content",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      CorpusViews.register(s, dir)
+      val fixture = s.sql(
+        s"SELECT page_key, url, $MainContentFixtureHtml AS bhtml FROM pages")
+      val enc = Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+      val outEnc = Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaInt,
+        Encoders.scalaInt, Encoders.STRING)
+      fixture.as(enc).mapPartitions { it =>
+        it.map { case (key, url, bhtml) =>
+          val bs = graft.html.Boilerplate.blocks(bhtml)
+          val kept = bs.count(b =>
+            b.text.trim.nonEmpty && b.linkDensity <= 0.5)
+          (key, url, bs.length, kept,
+            graft.html.Boilerplate.mainContent(bhtml))
+        }
+      }(outEnc).toDF("page_key", "url", "n_blocks", "n_kept", "main")
+        .select(col("page_key"), col("url"), col("n_blocks"), col("n_kept"),
+          md5(encode(col("main"), "UTF-8")).as("main_md5"))
+    },
+    Some(cte("pages") +
+      """SELECT page_key, url, CAST(4 AS INT) AS n_blocks,
+        |  CAST(2 AS INT) AS n_kept,
+        |  md5(text || chr(10) || 'read more from here after the jump')
+        |    AS main_md5
+        |FROM pages""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
@@ -942,5 +993,5 @@ object CrawlQueries {
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
     qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull,
     qWarcParse, qWarcWrite, qPriorityIndegree, qDecodeCodegen, qPreActions,
-    qRobotsSitemaps)
+    qRobotsSitemaps, qMainContent)
 }

@@ -912,9 +912,81 @@ object TextQueries {
         |  SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT)) AS n_tokens
         |FROM sampled GROUP BY lang""".stripMargin))
 
+  /** Exact duplicated-substring spans (q73): the suffix-array exact-substring
+    * dedup recipe (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022) re-expressed relationally. A k-token gram
+    * (k=5) occurring more than once corpus-wide marks all k token positions
+    * it covers as duplicated text; per document we report total tokens, the
+    * duplicated-gram start count, and the number of token positions covered
+    * by ANY duplicated gram — the exact quantity the paper's span-removal
+    * step cuts (their 50-token threshold becomes k here). docsAug supplies
+    * genuine full-copy mass (100% coverage on every 7th doc and its clone)
+    * on top of the corpus's natural shared phrases.
+    * Scale: this is the relational stand-in for a distributed suffix array —
+    * grams explode per-row, the only wide op is one hash aggregation keyed
+    * on the GRAM (the same shingle-pipeline shape as q26/q27, map-side
+    * combined), and coverage is a per-doc bounded aggregate. No all-pairs
+    * comparison anywhere; survives 10^10 docs exactly like the shingle ops.
+    */
+  val qSubstringSpans = Q(
+    "q73_substring_spans",
+    (s, dir) => {
+      val K = 5
+      val words = docsAug(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      val base = words.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      val grams = words.select(col("doc_id"),
+        explode(expr(
+          s"""CASE WHEN size(w) >= $K
+             |  THEN transform(sequence(0, size(w) - $K),
+             |    i -> named_struct('s', i,
+             |                      'g', array_join(slice(w, i + 1, $K), ' ')))
+             |  ELSE CAST(array() AS ARRAY<STRUCT<s: INT, g: STRING>>)
+             |END""".stripMargin)).as("sg"))
+        .select(col("doc_id"), col("sg.s").as("s"), col("sg.g").as("g"))
+      val dupGrams = grams.groupBy(col("g"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+        .select(col("g"))
+      val dupStarts = grams.join(dupGrams, Seq("g"))
+        .select(col("doc_id"), col("s"))
+      val cov = dupStarts
+        .select(col("doc_id"), col("s"),
+          explode(expr(s"sequence(s, s + ${K - 1})")).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("s")).cast("int").as("n_dup_starts"),
+          countDistinct(col("p")).cast("int").as("covered_tokens"))
+      base.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_starts"), lit(0)).as("n_dup_starts"),
+          coalesce(col("covered_tokens"), lit(0)).as("covered_tokens"))
+    },
+    Some(s"WITH $AugSql,\n" +
+      """words AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM docs_aug
+        |), starts AS (
+        |  SELECT doc_id, w, unnest(range(0, greatest(len(w) - 4, 0))) AS s
+        |  FROM words
+        |), grams AS (
+        |  SELECT doc_id, s, array_to_string(w[s+1:s+5], ' ') AS g FROM starts
+        |), gc AS (
+        |  SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+        |), dup AS (
+        |  SELECT gr.doc_id, gr.s FROM grams gr JOIN gc USING (g)
+        |), cov AS (
+        |  SELECT doc_id, COUNT(DISTINCT s) AS n_dup_starts,
+        |    COUNT(DISTINCT p) AS covered_tokens
+        |  FROM (SELECT doc_id, s, unnest(range(s, s + 5)) AS p FROM dup) u
+        |  GROUP BY doc_id
+        |)
+        |SELECT w2.doc_id AS doc_id, CAST(len(w2.w) AS INT) AS n_tokens,
+        |  CAST(COALESCE(c.n_dup_starts, 0) AS INT) AS n_dup_starts,
+        |  CAST(COALESCE(c.covered_tokens, 0) AS INT) AS covered_tokens
+        |FROM words w2 LEFT JOIN cov c USING (doc_id)""".stripMargin))
+
   val all: Seq[Q] = Seq(qRegexTokens, qDedupExact, qDedupNorm, qTokenCount, qQualityScore,
     qLangId, qFingerprint, qShingles, qMinHash, qMinHashLsh, qNgramJaccard,
     qSimHash, qJaccardLshVerify, qRepetition, qParaDedup, qPiiRedact,
     qDedupComponents, qDedupCanonical, qHashSample, qMixUpsample,
-    qDecontaminate, qCorpusBuild)
+    qDecontaminate, qCorpusBuild, qSubstringSpans)
 }
