@@ -985,6 +985,123 @@ object CrawlQueries {
         |    AS main_md5
         |FROM pages""".stripMargin))
 
+  /** Recrawl / revisit scheduling (q74): the refresh-policy operator a
+    * continuous crawl runs between waves (Cho & Garcia-Molina, "Effective
+    * Page Refresh Policies for Web Crawlers", TODS 2003): estimate each
+    * page's change rate from its fetch HISTORY (consecutive content-digest
+    * comparisons), then order the frontier by rate × staleness. The fixture
+    * synthesizes an 8-fetch digest history per page (per-page deterministic
+    * change pattern, rates 1..9 of 10); the OPERATOR lag-compares digests
+    * per url — it never sees the generating arithmetic — and emits
+    * all-integer outputs: observed change count, change rate in millis per
+    * interval, and the revisit score (rate × age-days) a scheduler sorts
+    * by. The oracle replays the identical lag-compare in DuckDB SQL.
+    * Scale: ONE shuffle keyed on url with a bounded per-url history window
+    * + map-side-combined aggregate — the incremental recrawl-scheduler
+    * shape at 10^10 urls; no driver state, no cross-url comparison.
+    */
+  val qRevisitSchedule = Q(
+    "q74_revisit_schedule",
+    (s, dir) => {
+      val hist = v(s, dir)("pages")
+        .select(col("page_key"), col("url"),
+          explode(expr("sequence(0, 7)")).as("i"))
+        .withColumn("chg",
+          when(col("i") > 0 &&
+            (col("page_key") * 31 + col("i") * 7) % 10 <
+              col("page_key") % 9 + 1, 1).otherwise(0))
+        .withColumn("digest",
+          md5(concat(col("page_key").cast("string"), lit(":"),
+            sum(col("chg")).over(Window.partitionBy(col("page_key"))
+              .orderBy(col("i"))).cast("string"))))
+      val rateM = (col("n_changes") * 1000).cast("long") / lit(7)
+      hist
+        .withColumn("prev", lag(col("digest"), 1).over(
+          Window.partitionBy(col("url")).orderBy(col("i"))))
+        .groupBy(col("url"))
+        .agg(min(col("page_key")).as("page_key"),
+          count(lit(1)).cast("int").as("n_fetches"),
+          sum(when(col("prev").isNotNull && col("prev") =!= col("digest"), 1)
+            .otherwise(0)).cast("int").as("n_changes"))
+        .select(col("url"), col("n_fetches"), col("n_changes"),
+          floor(rateM).cast("long").as("change_rate_milli"),
+          (floor(rateM).cast("long") * (col("page_key") % 30 + 1))
+            .cast("long").as("revisit_score"))
+    },
+    Some(cte("pages") +
+      """, hist AS (
+        |  SELECT page_key, url, unnest(range(0, 8)) AS i FROM pages
+        |), flags AS (
+        |  SELECT page_key, url, i,
+        |    CASE WHEN i > 0 AND (page_key * 31 + i * 7) % 10 < page_key % 9 + 1
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM hist
+        |), cum AS (
+        |  SELECT page_key, url, i,
+        |    md5(CAST(page_key AS STRING) || ':' ||
+        |        CAST(SUM(chg) OVER (PARTITION BY page_key ORDER BY i) AS STRING))
+        |      AS digest
+        |  FROM flags
+        |), lagd AS (
+        |  SELECT page_key, url, i, digest,
+        |    LAG(digest) OVER (PARTITION BY url ORDER BY i) AS prev
+        |  FROM cum
+        |), agg AS (
+        |  SELECT url, MIN(page_key) AS page_key,
+        |    CAST(COUNT(*) AS INT) AS n_fetches,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> digest
+        |                  THEN 1 ELSE 0 END) AS INT) AS n_changes
+        |  FROM lagd GROUP BY url
+        |)
+        |SELECT url, n_fetches, n_changes,
+        |  CAST(FLOOR(n_changes * 1000 / 7) AS BIGINT) AS change_rate_milli,
+        |  CAST(CAST(FLOOR(n_changes * 1000 / 7) AS BIGINT)
+        |       * (page_key % 30 + 1) AS BIGINT) AS revisit_score
+        |FROM agg""".stripMargin))
+
+  /** Crawl-trap detection (q76): the frontier-hygiene operator every
+    * web-scale crawl needs and no single-site framework ships — detect
+    * URL-TEMPLATE explosion (calendar pages, session ids, faceted search)
+    * by collapsing each path's digit runs to a template and counting
+    * distinct urls per (host, template). Templates past the budget are
+    * traps: the scheduler demotes/caps them instead of crawling an
+    * unbounded synthetic space. Fixture: four path families per host —
+    * unbounded '/article/N', a calendar '/cal/N/N/N' (the canonical trap),
+    * bounded '/tag/N', singleton '/about' — so the budget (64) separates
+    * genuinely exploding templates from bounded ones at the sf0.01 gate.
+    * Scale: template is a codegen'd per-row regexp; the count is ONE
+    * map-side-combined aggregate on (host, template); the resulting trap
+    * table is tiny and broadcast-joins back onto the frontier as a gate.
+    */
+  private val TrapUrlsFixtureSql =
+    """SELECT 'h' || CAST(l_orderkey % 97 AS STRING) || '.example.com' AS host,
+      |  CASE WHEN l_linenumber % 4 = 1 THEN '/article/' || CAST(l_orderkey AS STRING)
+      |       WHEN l_linenumber % 4 = 2 THEN '/cal/2024/' || CAST(l_partkey % 12 + 1 AS STRING) || '/' || CAST(l_suppkey % 28 + 1 AS STRING)
+      |       WHEN l_linenumber % 4 = 3 THEN '/about'
+      |       ELSE '/tag/' || CAST(l_partkey % 50 AS STRING) END AS path
+      |FROM lineitem""".stripMargin
+
+  val qTrapDetect = Q(
+    "q76_trap_detect",
+    (s, dir) => {
+      CorpusViews.register(s, dir)
+      s.sql(TrapUrlsFixtureSql)
+        .withColumn("template", regexp_replace(col("path"), "[0-9]+", "N"))
+        .groupBy(col("host"), col("template"))
+        .agg(countDistinct(col("path")).as("n_urls"))
+        .select(col("host"), col("template"), col("n_urls"),
+          (col("n_urls") > 64).as("is_trap"))
+    },
+    Some(s"WITH trap_urls AS (\n$TrapUrlsFixtureSql\n)," +
+      """ t AS (
+        |  SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+        |         path
+        |  FROM trap_urls
+        |)
+        |SELECT host, template, COUNT(DISTINCT path) AS n_urls,
+        |  COUNT(DISTINCT path) > 64 AS is_trap
+        |FROM t GROUP BY host, template""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
@@ -993,5 +1110,5 @@ object CrawlQueries {
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
     qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull,
     qWarcParse, qWarcWrite, qPriorityIndegree, qDecodeCodegen, qPreActions,
-    qRobotsSitemaps, qMainContent)
+    qRobotsSitemaps, qMainContent, qRevisitSchedule, qTrapDetect)
 }

@@ -8,6 +8,11 @@ final case class SitemapHostRow(
     host: String, n_locs: Long, locs: String, lastmods: String,
     roundtrip_ok: Boolean)
 
+/** q75's per-host index round-trip row. */
+final case class SitemapIndexRow(
+    host: String, n_shards: Int, n_locs: Int, locs: String,
+    roundtrip_ok: Boolean)
+
 /** Link-graph scheduling + seed-source queries: host-authority ranking
   * (graft.graph.HostRank) and sitemap ingestion (graft.sitemap.Sitemap) —
   * the two frontier-bootstrap operators a Common-Crawl-scale crawl runs
@@ -112,5 +117,58 @@ object GraphQueries {
         |  TRUE AS roundtrip_ok
         |FROM pages GROUP BY host""".stripMargin))
 
-  val all: Seq[Q] = Seq(qHostRank, qSitemap)
+  /** Sitemap INDEX round-trip (q75): the protocol's two-level form — every
+    * site past 50k urls ships a `<sitemapindex>` whose `<sitemap>` blocks
+    * point at shard urlsets. Per host, the fixture shards its pages by
+    * page_key % 3 into shard urlsets plus an index document; the crawl side
+    * then does exactly what a scheduler does: parse the INDEX, follow each
+    * shard pointer, parse each SHARD urlset, flatten in (shard, entry)
+    * order. The oracle reconstructs the same flattened sequence with
+    * ordered string_agg; equality proves index parse → shard fan-out →
+    * urlset parse recovers every written entry in order. Scale: one
+    * groupBy(host) shuffle (bounded per-host payload) then a pure per-row
+    * map — the q59 shape with the second protocol level on top.
+    */
+  val qSitemapIndex = Q(
+    "q75_sitemap_index",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sitemap.Sitemap
+      val grouped = v(s, dir)("pages")
+        .select(col("host"), col("page_key"), col("url"))
+        .groupBy("host")
+        .agg(sort_array(collect_list(
+          struct(col("page_key"), col("url")))).as("es"))
+        .as[(String, Seq[(Long, String)])]
+      grouped.map { case (host, es) =>
+        val byShard = es.groupBy(_._1 % 3).toSeq.sortBy(_._1)
+          .map { case (sh, ps) => (sh, ps.sortBy(_._1)) }
+        val shardDocs = byShard.map { case (sh, ps) =>
+          (s"http://$host/sitemap-$sh.xml",
+            Sitemap.write(ps.map(p => Sitemap.Entry(p._2, None))))
+        }.toMap
+        val index = Sitemap.writeIndex(byShard.map { case (sh, _) =>
+          Sitemap.Entry(s"http://$host/sitemap-$sh.xml", None)
+        })
+        // crawl side: parse the index, follow pointers, parse shards
+        val shardLocs = Sitemap.parseIndex(index).map(_.loc)
+        val flat = shardLocs.flatMap(l => Sitemap.parse(shardDocs(l)).map(_.loc))
+        val expected = byShard.flatMap(_._2.map(_._2))
+        SitemapIndexRow(host, shardLocs.length, flat.length,
+          flat.mkString("\n"), flat == expected)
+      }.toDF()
+        .select(col("host"), col("n_shards"), col("n_locs"),
+          md5(encode(col("locs"), "UTF-8")).as("locs_md5"),
+          col("roundtrip_ok"))
+    },
+    Some(cte("pages") +
+      """SELECT host,
+        |  CAST(COUNT(DISTINCT page_key % 3) AS INT) AS n_shards,
+        |  CAST(COUNT(*) AS INT) AS n_locs,
+        |  md5(string_agg(url, chr(10) ORDER BY page_key % 3, page_key))
+        |    AS locs_md5,
+        |  TRUE AS roundtrip_ok
+        |FROM pages GROUP BY host""".stripMargin))
+
+  val all: Seq[Q] = Seq(qHostRank, qSitemap, qSitemapIndex)
 }

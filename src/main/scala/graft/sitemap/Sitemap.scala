@@ -62,23 +62,49 @@ object Sitemap {
   /** Parse `<url>` blocks in document order. Blocks missing `</url>`
     * (truncated tail) or `<loc>` are dropped.
     */
-  def parse(xml: String): Seq[Entry] = {
+  def parse(xml: String): Seq[Entry] = parseBlocks(xml, "url")
+
+  /** Sitemap INDEX file (sitemaps.org: `<sitemapindex>` of `<sitemap>`
+    * blocks) — how every large site ships >50,000 urls: an index document
+    * points at shard urlsets. Writer mirrors `write`; parser reuses the
+    * same strict block scanner (`<sitemapindex>` never false-matches a
+    * `<sitemap>` open tag, same guard as urlset/url).
+    */
+  def writeIndex(entries: Seq[Entry]): String = {
+    val sb = new StringBuilder(64 + entries.length * 64)
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+    entries.foreach { e =>
+      sb.append("  <sitemap><loc>").append(escape(e.loc)).append("</loc>")
+      e.lastmod.foreach(lm =>
+        sb.append("<lastmod>").append(escape(lm)).append("</lastmod>"))
+      sb.append("</sitemap>\n")
+    }
+    sb.append("</sitemapindex>\n")
+    sb.toString
+  }
+
+  /** Parse `<sitemap>` blocks of an index document, document order. */
+  def parseIndex(xml: String): Seq[Entry] = parseBlocks(xml, "sitemap")
+
+  private def parseBlocks(xml: String, name: String): Seq[Entry] = {
     val out = Seq.newBuilder[Entry]
+    val close = s"</$name>"
     var i = 0
     var done = false
     while (!done) {
-      val s = nextOpen(xml, "url", i)
+      val s = nextOpen(xml, name, i)
       if (s < 0) done = true
       else {
         val bodyStart = xml.indexOf('>', s)
-        val e = if (bodyStart < 0) -1 else xml.indexOf("</url>", bodyStart)
+        val e = if (bodyStart < 0) -1 else xml.indexOf(close, bodyStart)
         if (e < 0) done = true // truncated trailing block — drop
         else {
           val block = xml.substring(bodyStart + 1, e)
           tag(block, "loc").foreach { l =>
             out += Entry(unescape(l.trim), tag(block, "lastmod").map(t => unescape(t.trim)))
           }
-          i = e + "</url>".length
+          i = e + close.length
         }
       }
     }

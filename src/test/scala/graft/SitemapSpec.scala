@@ -67,4 +67,36 @@ class SitemapSpec extends AnyFunSuite {
     assert(Sitemap.parse("not xml at all") == Nil)
     assert(Sitemap.parse("<urlset></urlset>") == Nil)
   }
+
+  test("index: write → parseIndex round-trips shard pointers in order") {
+    val shards = Seq(
+      Entry("http://h1.example.com/sitemap-0.xml", Some("2024-01-01")),
+      Entry("http://h1.example.com/sitemap-1.xml", None),
+      Entry("http://h1.example.com/sitemap-2.xml", None))
+    val xml = Sitemap.writeIndex(shards)
+    assert(xml.startsWith("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<sitemapindex"))
+    assert(Sitemap.parseIndex(xml) == shards)
+  }
+
+  test("index: <sitemapindex> root never false-matches a <sitemap> block") {
+    // a root tag and an empty index must yield zero pointers, and a block
+    // missing <loc> is dropped exactly like the urlset side
+    assert(Sitemap.parseIndex("<sitemapindex></sitemapindex>") == Nil)
+    assert(Sitemap.parseIndex(
+      "<sitemapindex><sitemap><lastmod>2024-01-01</lastmod></sitemap></sitemapindex>") == Nil)
+  }
+
+  test("index: urlset parser and index parser do not cross-match blocks") {
+    val index = Sitemap.writeIndex(Seq(Entry("http://h/s-0.xml", None)))
+    val urlset = Sitemap.write(Seq(Entry("http://h/p/1", None)))
+    assert(Sitemap.parse(index) == Nil)      // no <url> blocks in an index
+    assert(Sitemap.parseIndex(urlset) == Nil) // no <sitemap> blocks in a urlset
+  }
+
+  test("index: truncated trailing <sitemap> block dropped") {
+    val xml = "<sitemapindex>" +
+      "<sitemap><loc>http://h/s-0.xml</loc></sitemap>" +
+      "<sitemap><loc>http://h/s-1.xml</loc>" // no close → dropped
+    assert(Sitemap.parseIndex(xml) == Seq(Entry("http://h/s-0.xml", None)))
+  }
 }
