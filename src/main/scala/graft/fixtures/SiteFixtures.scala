@@ -387,10 +387,36 @@ object SiteFixtures {
       p("http://sm.example.com/sm/c", "<html><body><p>c</p></body></html>"))
   }
 
+  /** trap.example.com — a calendar-trap site: the hub links 6 urls of one
+    * digit-template family ('/cal/2024/N') plus a bounded '/about'; every
+    * cal page links one MORE fresh cal url (the unbounded synthetic space).
+    * Food for CrawlSpec.trapTemplateBudget (q76's engine-wired gate).
+    */
+  def trapPages: Seq[Page] = {
+    def p(url: String, body: String) =
+      Page(url, ts(900), body.getBytes(StandardCharsets.UTF_8), body, "en",
+        200, "text/html; charset=utf-8", null)
+    val hub = p("http://trap.example.com/",
+      (1 to 6).map(i => s"""<a href="/cal/2024/$i">d$i</a>""")
+        .mkString("<html><body>", "", """<a href="/about">a</a></body></html>"""))
+    val cals = (1 to 6).map { i =>
+      p(s"http://trap.example.com/cal/2024/$i",
+        s"""<html><body><p>day $i</p><a href="/cal/2024/${i + 10}">next</a></body></html>""")
+    }
+    val deep = (11 to 16).map { i =>
+      p(s"http://trap.example.com/cal/2024/$i",
+        s"<html><body><p>day $i</p></body></html>")
+    }
+    val about = p("http://trap.example.com/about",
+      "<html><body><p>about</p></body></html>")
+    hub +: about +: (cals ++ deep)
+  }
+
   def allPages: Seq[Page] =
     quotesPages ++ booksPages ++ megaPages ++ redirectPages ++ flakyPages ++
       charsetPages ++ cookiePages ++ jsPages ++ securePages ++ rotatePages ++
-      rfc6265Pages ++ domainCookiePages ++ crawlDelayPages ++ sitemapPages
+      rfc6265Pages ++ domainCookiePages ++ crawlDelayPages ++ sitemapPages ++
+      trapPages
 
   /** The corpus as a DataFrame in the BASELINE input_hint shape
     * `pages(url, warc_ts, html, text, lang)` + fetch-semantics meta columns

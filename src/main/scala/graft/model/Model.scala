@@ -168,7 +168,18 @@ final case class CrawlSpec(
     // enters the next wave's frontier as a discovered link at depth 1 —
     // subject to the same domain filter, dedup, seen anti-join and
     // politeness as any parsed link.
-    sitemapDiscovery: Boolean = false
+    sitemapDiscovery: Boolean = false,
+    // Crawl-trap budget (opt-in): cap the number of urls any single
+    // (host, path-template) may ever contribute to the frontier, where the
+    // template collapses digit runs to 'N' ('/cal/2024/3/7' → '/cal/N/N/N').
+    // Calendar pages, session ids and faceted-search spaces are unbounded
+    // synthetic URL families — a web-scale frontier caps them instead of
+    // crawling them forever (q76 is the detection face; this is the gate).
+    // Capped urls are audited as `trap_capped` and enter the seen set, so
+    // they stay suppressed for the rest of the crawl. Counts are
+    // per-run-session state (a resumed crawl re-grants a fresh budget; the
+    // seen set still suppresses previously-capped urls).
+    trapTemplateBudget: Option[Int] = None
 )
 
 object CrawlSpec {

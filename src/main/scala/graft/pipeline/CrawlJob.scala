@@ -327,6 +327,9 @@ object CrawlJob {
     var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.sketch.BloomFilter]] = None
     var cuckooState: Option[graft.state.SeenSet.CuckooState] = None
+    // crawl-trap gate state: (host, template) → urls granted so far; one
+    // row per distinct template ever granted (bounded, broadcast side)
+    var trapCounts: Option[DataFrame] = None
     // running seen count (sizes the sketches) — ONE bootstrap count here,
     // then maintained from the materialized per-wave increments
     var seenCount: Long =
@@ -1172,6 +1175,64 @@ object CrawlJob {
               st, candNew.select(col("url")), incCount))
         }
 
+        // ---- crawl-trap budget gate (CrawlSpec.trapTemplateBudget) -------
+        // Cap each (host, digit-run path template) at `budget` frontier
+        // entries, crawl-lifetime. Split by the running granted-count state:
+        //  - SATURATED templates (n_prev >= budget) cap their urls with a
+        //    plain filter — no window, the steady-state cost of a detected
+        //    trap is one broadcast-join predicate per wave;
+        //  - ACTIVE templates rank their candidates deterministically
+        //    (parent_rank, link_pos, url) and keep n_prev + rank <= budget.
+        // Capped urls are audited and still flow into `seen`/sketches below
+        // (candNew is the seen increment), so they stay suppressed forever.
+        // The state table is one row per DISTINCT template ever granted —
+        // bounded and broadcastable at any crawl scale.
+        val candGranted = spec.trapTemplateBudget match {
+          case Some(budget) =>
+            val withT = candNew.withColumn("template",
+              regexp_replace(col("path"), "[0-9]+", "N"))
+            val counts = trapCounts.getOrElse {
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("host",
+                    org.apache.spark.sql.types.StringType),
+                  org.apache.spark.sql.types.StructField("template",
+                    org.apache.spark.sql.types.StringType),
+                  org.apache.spark.sql.types.StructField("n_prev",
+                    org.apache.spark.sql.types.LongType))))
+            }
+            val joined = withT
+              .join(broadcast(counts), Seq("host", "template"), "left")
+              .withColumn("n_prev", coalesce(col("n_prev"), lit(0L)))
+            val saturated = joined.filter(col("n_prev") >= budget)
+            val active = joined.filter(col("n_prev") < budget)
+            val tw = Window.partitionBy(col("host"), col("template"))
+              .orderBy(col("parent_rank").asc, col("link_pos").asc,
+                col("url").asc)
+            val rankedT = active.withColumn("t_rn",
+              row_number().over(tw).cast("long"))
+            val granted = rankedT
+              .filter(col("n_prev") + col("t_rn") <= budget)
+              .drop("t_rn")
+            val capped = rankedT
+              .filter(col("n_prev") + col("t_rn") > budget)
+              .drop("t_rn")
+              .unionByName(saturated)
+            auditInc += (capped.select(lit(wave), lit("trap_capped"),
+              lit("GET"), lit(0), col("host"), col("url"), col("template")))
+            val newCounts = granted.groupBy(col("host"), col("template"))
+              .agg(count(lit(1)).as("n_inc"))
+            trapCounts = Some(counts
+              .join(newCounts, Seq("host", "template"), "full_outer")
+              .select(col("host"), col("template"),
+                (coalesce(col("n_prev"), lit(0L)) +
+                  coalesce(col("n_inc"), lit(0L))).as("n_prev"))
+              .localCheckpoint(true))
+            granted.drop("template", "n_prev")
+          case None => candNew
+        }
+
         // deterministic discovery rank (sync-order mode; geziyor.go:225-227).
         // Next-wave ranks are made unique across the three sources by group
         // offsets: deferred (oldest pending) < retries < new discoveries —
@@ -1189,8 +1250,8 @@ object CrawlJob {
         val ranked0 =
           if (spec.syncOrder) {
             val rw = Window.orderBy(col("parent_rank").asc, col("link_pos").asc)
-            candNew.withColumn("rank", row_number().over(rw).cast("long"))
-          } else candNew.withColumn("rank", lit(0L))
+            candGranted.withColumn("rank", row_number().over(rw).cast("long"))
+          } else candGranted.withColumn("rank", lit(0L))
         val nextFrontier = ranked0
           .select(col("url"), col("host"), col("path"), col("depth"),
             lit("GET").as("method"), col("meta"), lit(0).as("retry"),

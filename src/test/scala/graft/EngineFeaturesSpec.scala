@@ -291,6 +291,42 @@ class EngineFeaturesSpec extends AnyFunSuite {
       "http://sm.example.com/", "http://sm.example.com/linked"))
   }
 
+  test("trap budget: (host, template) families cap at the budget; " +
+      "saturated templates stay suppressed; off by default") {
+    val spec = CrawlSpec(startUrls = Seq("http://trap.example.com/"),
+      parserId = "all_links", maxWaves = 5, trapTemplateBudget = Some(3))
+    val res = CrawlJob.run(spark, spec, pagesDf)
+    val crawled = res.audit.filter(col("kind") === "crawled")
+      .select("url").collect().map(_.getString(0)).toSet
+    // hub + /about + exactly 3 of the 6 first-wave /cal/2024/N urls
+    // (deterministic pick: link order 1,2,3); their "next" links land on a
+    // SATURATED template and never crawl
+    assert(crawled == Set(
+      "http://trap.example.com/",
+      "http://trap.example.com/about",
+      "http://trap.example.com/cal/2024/1",
+      "http://trap.example.com/cal/2024/2",
+      "http://trap.example.com/cal/2024/3"))
+    val capped = res.audit.filter(col("kind") === "trap_capped")
+      .select("url", "detail").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // wave 1: cal 4,5,6 over budget; wave 2: cal 11,12,13 on the saturated
+    // template — all audited with the template as detail
+    assert(capped.map(_._1).toSet == Set(
+      "http://trap.example.com/cal/2024/4",
+      "http://trap.example.com/cal/2024/5",
+      "http://trap.example.com/cal/2024/6",
+      "http://trap.example.com/cal/2024/11",
+      "http://trap.example.com/cal/2024/12",
+      "http://trap.example.com/cal/2024/13"))
+    assert(capped.forall(_._2 == "/cal/N/N"))
+    // off by default: the whole family crawls (hub, about, 6 cal, 6 deep)
+    val off = CrawlJob.run(spark,
+      spec.copy(trapTemplateBudget = None), pagesDf)
+    assert(off.audit.filter(col("kind") === "crawled").count() == 14)
+    assert(off.audit.filter(col("kind") === "trap_capped").count() == 0)
+  }
+
   // ---- proxy identity in the audit ---------------------------------------
 
   test("proxy pool: crawled audit rows carry the assigned proxy identity") {
