@@ -179,7 +179,19 @@ final case class CrawlSpec(
     // they stay suppressed for the rest of the crawl. Counts are
     // per-run-session state (a resumed crawl re-grants a fresh budget; the
     // seen set still suppresses previously-capped urls).
-    trapTemplateBudget: Option[Int] = None
+    trapTemplateBudget: Option[Int] = None,
+    // Adaptive per-host crawl rate (opt-in): an AIMD congestion controller
+    // on top of the politeness window (q77 is the query face). A host whose
+    // wave had any response slower than adaptiveLatencyMs or any 5xx status
+    // HALVES its next-wave grant cap (floor 1); a healthy observed host
+    // adds 2 (ceiling adaptiveMaxCap). Unobserved hosts keep their cap.
+    // The effective per-host cap is min(hostTokensPerWave, Crawl-delay cap,
+    // AIMD cap); new hosts start at adaptiveInitialCap. State is one row
+    // per observed host (bounded, broadcast side), per run-session.
+    adaptiveRate: Boolean = false,
+    adaptiveLatencyMs: Long = 2000,
+    adaptiveInitialCap: Int = 8,
+    adaptiveMaxCap: Int = 64
 )
 
 object CrawlSpec {

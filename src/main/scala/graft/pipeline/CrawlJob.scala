@@ -127,7 +127,8 @@ object CrawlJob {
       optCol("set_cookie", "string", cookiesActive).as("p_setck"),
       optCol("etag", "string", cacheActive).as("p_etag"),
       optCol("last_modified", "string", cacheActive).as("p_lastmod"),
-      optCol("latency_ms", "long", spec.requestTimeoutMs > 0).as("p_latency"))
+      optCol("latency_ms", "long",
+        spec.requestTimeoutMs > 0 || spec.adaptiveRate).as("p_latency"))
 
     val emptyAudit = Seq.empty[(Int, String, String, Int, String, String, String)]
       .toDF("wave", "kind", "method", "status", "host", "url", "detail")
@@ -330,6 +331,9 @@ object CrawlJob {
     // crawl-trap gate state: (host, template) → urls granted so far; one
     // row per distinct template ever granted (bounded, broadcast side)
     var trapCounts: Option[DataFrame] = None
+    // AIMD rate state (CrawlSpec.adaptiveRate): host → current grant cap;
+    // one row per host ever OBSERVED in a fetch wave (bounded, broadcast)
+    var hostCaps: Option[DataFrame] = None
     // running seen count (sizes the sketches) — ONE bootstrap count here,
     // then maintained from the materialized per-wave increments
     var seenCount: Long =
@@ -386,11 +390,12 @@ object CrawlJob {
         // exactly like the reference's lazy robots fetch timing.
         val honorDelay = spec.honorCrawlDelay && !spec.robotsTxtDisabled
         val (granted, deferred) =
-          if (spec.hostTokensPerWave == Int.MaxValue && !honorDelay)
+          if (spec.hostTokensPerWave == Int.MaxValue && !honorDelay &&
+              !spec.adaptiveRate)
             (frontier, emptyFrontier)
           else {
             val nonRetry00 = frontier.filter(!col("is_retry"))
-            val nonRetry1 =
+            val nonRetry0 =
               if (!honorDelay)
                 nonRetry00.withColumn("hcap",
                   lit(spec.hostTokensPerWave.toLong))
@@ -406,6 +411,22 @@ object CrawlJob {
                           col("crawl_delay")).cast("long")),
                       lit(spec.hostTokensPerWave.toLong))))
                 .drop("r_host", "crawl_delay")
+            // AIMD cap (CrawlSpec.adaptiveRate): tighten by the host's
+            // controller state — new/unobserved hosts run at the initial
+            // cap; the broadcast side is one row per observed host
+            val nonRetry1 =
+              if (!spec.adaptiveRate) nonRetry0
+              else hostCaps match {
+                case Some(caps) => nonRetry0
+                  .join(broadcast(caps),
+                    col("host") === col("a_host"), "left")
+                  .withColumn("hcap", least(col("hcap"),
+                    coalesce(col("acap"),
+                      lit(spec.adaptiveInitialCap.toLong))))
+                  .drop("a_host", "acap")
+                case None => nonRetry0.withColumn("hcap",
+                  least(col("hcap"), lit(spec.adaptiveInitialCap.toLong)))
+              }
             val nonRetry =
               if (spec.requestDelayMs > 0)
                 nonRetry1.withColumn("delay_ms",
@@ -892,6 +913,38 @@ object CrawlJob {
           .select(col("wave"), lit("redirect_exceeded"), col("method"),
             col("p_status"), col("host"), col("url"),
             lit(s"stopped after ${spec.maxRedirect} redirects")))
+
+        // ---- AIMD controller update (CrawlSpec.adaptiveRate) -------------
+        // One map-side-combined aggregate over the persisted wave: a host
+        // is overloaded when ANY response was slower than the threshold or
+        // 5xx. Observed hosts move (halve / +2); unobserved hosts keep
+        // their cap. State stays one row per observed host.
+        if (spec.adaptiveRate) {
+          val overObs = fetched
+            .filter(col("p_status").isNotNull)
+            .groupBy(col("host"))
+            .agg(max(
+              when(col("p_latency").isNotNull &&
+                col("p_latency") > lit(spec.adaptiveLatencyMs), 1)
+                .when(col("p_status") >= 500, 1)
+                .otherwise(0)).as("over"))
+            .select(col("host").as("a_host"), col("over"))
+          val prev = hostCaps.getOrElse(
+            overObs.limit(0).select(col("a_host"),
+              lit(null).cast("long").as("acap")))
+          val init = lit(spec.adaptiveInitialCap.toLong)
+          hostCaps = Some(prev
+            .join(overObs, Seq("a_host"), "full_outer")
+            .select(col("a_host"),
+              when(col("over") === 1,
+                greatest(lit(1L),
+                  floor(coalesce(col("acap"), init) / 2).cast("long")))
+                .when(col("over") === 0,
+                  least(lit(spec.adaptiveMaxCap.toLong),
+                    coalesce(col("acap"), init) + 2))
+                .otherwise(col("acap")).as("acap"))
+            .localCheckpoint(true))
+        }
 
         // ---- cookie jar: accumulate Set-Cookie responses ------------------
         // RFC 6265 jar semantics (net/http CookieJar via

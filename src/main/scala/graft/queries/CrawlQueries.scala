@@ -1102,6 +1102,71 @@ object CrawlQueries {
         |  COUNT(DISTINCT path) > 64 AS is_trap
         |FROM t GROUP BY host, template""".stripMargin))
 
+  /** Adaptive per-host crawl rate — AIMD (q77): the congestion controller a
+    * polite web-scale crawler runs on top of its static politeness window
+    * (the TCP recipe, and how production crawlers adapt to server health):
+    * each wave, a host that signals overload (slow/erroring responses)
+    * HALVES its grant cap (multiplicative decrease, floor 1); a healthy
+    * host adds 2 (additive increase, ceiling 64). The fixture derives a
+    * deterministic per-host overload signal from the corpus's latency
+    * aggregate; six controller waves run as an iterative column fold — the
+    * exact engine shape (per-wave state recurrence over a bounded per-HOST
+    * table). The oracle unrolls the identical integer recurrence as chained
+    * CTEs (the q58 recipe); every operation is integer min/max/halving, so
+    * the engines agree bit-for-bit. Scale: state is ONE row per host —
+    * bounded, broadcastable back onto the frontier; the per-wave update is
+    * a pure projection, no shuffle after the one latency aggregate.
+    */
+  /** Per-wave overload-signal phase offsets (non-progressive, so different
+    * hosts see different overload counts AND different hit waves — an
+    * arithmetic progression would give every host the same hit count).
+    */
+  private val AimdWaveOffsets = Seq(0, 3, 4, 9, 1, 7)
+
+  val qAimdRate = Q(
+    "q77_aimd_rate",
+    (s, dir) => {
+      val sig = v(s, dir)("pages")
+        .groupBy(col("host"))
+        .agg(floor(sum(col("latency_ms")) / 1000).cast("long").as("lat"))
+      var st = sig
+        .withColumn("cap", lit(8L))
+        .withColumn("n_over", lit(0L))
+      for (off <- AimdWaveOffsets) {
+        val over = (col("lat") + off) % 10 < 3
+        st = st
+          .withColumn("n_over",
+            col("n_over") + when(over, 1L).otherwise(0L))
+          .withColumn("cap",
+            when(over, greatest(lit(1L), floor(col("cap") / 2).cast("long")))
+              .otherwise(least(lit(64L), col("cap") + 2)))
+      }
+      st.select(col("host"), col("lat"), col("cap").as("final_cap"),
+        col("n_over"))
+    },
+    Some(cte("pages") + {
+      val steps = AimdWaveOffsets.zipWithIndex.map { case (off, w) =>
+        s"""r${w + 1} AS (
+           |  SELECT host, lat,
+           |    CASE WHEN (lat + $off) % 10 < 3
+           |         THEN CASE WHEN cap / 2 < 1 THEN 1 ELSE cap // 2 END
+           |         ELSE CASE WHEN cap + 2 > 64 THEN 64 ELSE cap + 2 END
+           |    END AS cap,
+           |    n_over + CASE WHEN (lat + $off) % 10 < 3 THEN 1 ELSE 0 END
+           |      AS n_over
+           |  FROM r$w
+           |)""".stripMargin
+      }.mkString(",\n")
+      s""", r0 AS (
+         |  SELECT host,
+         |    CAST(FLOOR(SUM(latency_ms) / 1000) AS BIGINT) AS lat,
+         |    CAST(8 AS BIGINT) AS cap, CAST(0 AS BIGINT) AS n_over
+         |  FROM pages GROUP BY host
+         |),
+         |$steps
+         |SELECT host, lat, cap AS final_cap, n_over FROM r6""".stripMargin
+    }))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
@@ -1110,5 +1175,5 @@ object CrawlQueries {
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
     qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull,
     qWarcParse, qWarcWrite, qPriorityIndegree, qDecodeCodegen, qPreActions,
-    qRobotsSitemaps, qMainContent, qRevisitSchedule, qTrapDetect)
+    qRobotsSitemaps, qMainContent, qRevisitSchedule, qTrapDetect, qAimdRate)
 }

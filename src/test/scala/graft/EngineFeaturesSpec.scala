@@ -327,6 +327,47 @@ class EngineFeaturesSpec extends AnyFunSuite {
     assert(off.audit.filter(col("kind") === "trap_capped").count() == 0)
   }
 
+  test("adaptiveRate: AIMD halves a slow host's cap and grows a healthy one") {
+    import spark.implicits._
+    def site(host: String, latency: Long) = {
+      val hub = (s"http://$host/", 200, "text/html; charset=utf-8",
+        Option.empty[String],
+        (1 to 20).map(i => s"""<a href="/p/$i">x</a>""")
+          .mkString("<html><body>", "", "</body></html>").getBytes("UTF-8"),
+        latency)
+      val leaves = (1 to 20).map(i => (s"http://$host/p/$i", 200,
+        "text/html; charset=utf-8", Option.empty[String],
+        s"<html><body><p>leaf $i</p></body></html>".getBytes("UTF-8"),
+        latency))
+      hub +: leaves
+    }
+    val corpus = (site("slow.example.com", 5000L) ++
+      site("fast.example.com", 50L))
+      .toDF("url", "status", "content_type", "location", "html", "latency_ms")
+    val spec = CrawlSpec(
+      startUrls = Seq("http://slow.example.com/", "http://fast.example.com/"),
+      parserId = "all_links", robotsTxtDisabled = true,
+      adaptiveRate = true, maxWaves = 6)
+    val res = CrawlJob.run(spark, spec, corpus)
+    def byWave(host: String): Map[Int, Long] =
+      res.audit.filter(col("kind") === "crawled" && col("host") === host)
+        .groupBy("wave").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // slow host: hub at the initial cap, then 8/2=4, 2, 1, 1, 1 — the
+    // controller strangles an overloaded host instead of hammering it
+    assert(byWave("slow.example.com") ==
+      Map(0 -> 1L, 1 -> 4L, 2 -> 2L, 3 -> 1L, 4 -> 1L, 5 -> 1L))
+    // fast host: hub, then additive increase lifts 8 → 10 before wave 1
+    // grants, so the 20 leaves finish in two waves (10 + 10)
+    assert(byWave("fast.example.com") ==
+      Map(0 -> 1L, 1 -> 10L, 2 -> 10L))
+    // off by default: everything crawls in wave 1
+    val off = CrawlJob.run(spark, spec.copy(adaptiveRate = false), corpus)
+    val offSlow = off.audit.filter(col("kind") === "crawled" &&
+      col("host") === "slow.example.com" && col("wave") === 1).count()
+    assert(offSlow == 20)
+  }
+
   // ---- proxy identity in the audit ---------------------------------------
 
   test("proxy pool: crawled audit rows carry the assigned proxy identity") {
