@@ -1011,8 +1011,11 @@ object CrawlQueries {
             (col("page_key") * 31 + col("i") * 7) % 10 <
               col("page_key") % 9 + 1, 1).otherwise(0))
         .withColumn("digest",
+          // cumulative-change window partitions on URL (1:1 with page_key
+          // here) so the lag window below reuses the SAME hash partitioning
+          // — the whole operator runs on ONE url-keyed Exchange
           md5(concat(col("page_key").cast("string"), lit(":"),
-            sum(col("chg")).over(Window.partitionBy(col("page_key"))
+            sum(col("chg")).over(Window.partitionBy(col("url"))
               .orderBy(col("i"))).cast("string"))))
       val rateM = (col("n_changes") * 1000).cast("long") / lit(7)
       hist
@@ -1039,7 +1042,7 @@ object CrawlQueries {
         |), cum AS (
         |  SELECT page_key, url, i,
         |    md5(CAST(page_key AS STRING) || ':' ||
-        |        CAST(SUM(chg) OVER (PARTITION BY page_key ORDER BY i) AS STRING))
+        |        CAST(SUM(chg) OVER (PARTITION BY url ORDER BY i) AS STRING))
         |      AS digest
         |  FROM flags
         |), lagd AS (
