@@ -1170,6 +1170,94 @@ object CrawlQueries {
          |SELECT host, lat, cap AS final_cap, n_over FROM r6""".stripMargin
     }))
 
+  /** CDX capture index (q78): the lookup artifact every WARC corpus ships
+    * next to its members (Common Crawl's cc-index; the pywb/OpenWayback CDX
+    * format) — one row per capture keyed by the SURT (Sort-friendly URI
+    * Reordering Transform: host labels reversed and comma-joined, then
+    * `)` + path) so all of a registrable domain's captures sort adjacent,
+    * with timestamp, content digest, and record length for dedup/lookup.
+    * Spark side is pure codegen'd column ops (split/reverse/array_join,
+    * md5, octet_length) plus a per-HOST `row_number` — the shard-local
+    * sequence a ZipNum-style block index assigns; partitioning by host
+    * (= SURT prefix) is exactly how the real index shards, so no global
+    * sort is ever needed. Scale: one narrow projection + one bounded
+    * window keyed like the politeness window; digest/length are byte
+    * counts (OCTET_LENGTH / DuckDB STRLEN).
+    */
+  val qCdxIndex = Q(
+    "q78_cdx_index",
+    (s, dir) => {
+      val p = v(s, dir)("pages")
+      p.select(col("url"), col("host"), col("path"), col("text"),
+          col("warc_ts"))
+        .withColumn("surt", concat(
+          array_join(reverse(split(col("host"), "\\.")), ","),
+          lit(")"), col("path")))
+        .withColumn("ts",
+          regexp_replace(col("warc_ts").cast("string"), "-", ""))
+        .withColumn("digest", md5(col("text")))
+        .withColumn("rec_len", octet_length(col("text")).cast("long"))
+        .withColumn("shard_seq", row_number().over(
+          Window.partitionBy(col("host")).orderBy(col("surt"))))
+        .select(col("surt"), col("ts"), col("url"), col("digest"),
+          col("rec_len"), col("shard_seq"))
+    },
+    Some(cte("pages") +
+      """SELECT surt, ts, url, digest, rec_len,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY surt) AS INT)
+        |    AS shard_seq
+        |FROM (
+        |  SELECT host,
+        |    array_to_string(list_reverse(string_split(host, '.')), ',')
+        |      || ')' || path AS surt,
+        |    REPLACE(CAST(warc_ts AS VARCHAR), '-', '') AS ts,
+        |    url, md5(text) AS digest,
+        |    CAST(STRLEN(text) AS BIGINT) AS rec_len
+        |  FROM pages)""".stripMargin))
+
+  /** Digest-deduplicated WARC output — revisit records (q79): how Common
+    * Crawl actually writes a deduplicated corpus (WARC/1.1 §6.7): the FIRST
+    * capture of each content digest writes a full `response` record; every
+    * later capture of identical content writes a payload-free `revisit`
+    * record whose WARC-Refers-To-Target-URI points at the original. The
+    * corpus text fields collide across pages by construction (same
+    * status/priority/total triple), so the operator sees real duplicate
+    * content. Scale: ONE shuffle keyed on digest (row_number + first_value
+    * share the window's Exchange); payload bytes written shrink from
+    * sum(all captures) to sum(distinct digests) — the storage saver that
+    * makes a 100 TB crawl's archive affordable.
+    */
+  val qWarcRevisit = Q(
+    "q79_warc_revisit",
+    (s, dir) => {
+      val w = Window.partitionBy(col("digest")).orderBy(col("page_key"))
+      v(s, dir)("pages")
+        .select(col("url"), col("page_key"), col("text"))
+        .withColumn("digest", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("orig_url", first(col("url")).over(w))
+        .select(col("url"), col("digest"),
+          when(col("rn") === 1, lit("response")).otherwise(lit("revisit"))
+            .as("warc_type"),
+          when(col("rn") === 1, lit(null).cast("string"))
+            .otherwise(col("orig_url")).as("refers_to"),
+          when(col("rn") === 1, octet_length(col("text")).cast("long"))
+            .otherwise(lit(0L)).as("payload_len"))
+    },
+    Some(cte("pages") +
+      """SELECT url, digest,
+        |  CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS warc_type,
+        |  CASE WHEN rn = 1 THEN NULL ELSE orig_url END AS refers_to,
+        |  CASE WHEN rn = 1 THEN CAST(STRLEN(text) AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS payload_len
+        |FROM (
+        |  SELECT url, text, md5(text) AS digest,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY page_key)
+        |      AS rn,
+        |    FIRST_VALUE(url) OVER (PARTITION BY md5(text) ORDER BY page_key)
+        |      AS orig_url
+        |  FROM pages)""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFetchJoin, qSeenAntiJoin, qDedupFirstWins, qAllowedDomains,
     qRejectedAudit, qHeaderDefaults, qPolitenessTokens, qRobotsGate,
@@ -1178,5 +1266,6 @@ object CrawlQueries {
     qCacheDecision, qRandomDelay, qProxyHashAssign, qRenderedFetch,
     qFetchTimeout, qPostFetch, qHtmlExtract, qUrlCanonical, qRobotsFull,
     qWarcParse, qWarcWrite, qPriorityIndegree, qDecodeCodegen, qPreActions,
-    qRobotsSitemaps, qMainContent, qRevisitSchedule, qTrapDetect, qAimdRate)
+    qRobotsSitemaps, qMainContent, qRevisitSchedule, qTrapDetect, qAimdRate,
+    qCdxIndex, qWarcRevisit)
 }
