@@ -21,7 +21,8 @@ object Warc {
       targetUri: String,
       date: String,
       contentLength: Long,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      extra: Map[String, String] = Map.empty)
 
   private val CRLF = Seq[Byte](13, 10)
 
@@ -48,12 +49,16 @@ object Warc {
       warcType: String,
       targetUri: String,
       date: String,
-      payload: Array[Byte]): Array[Byte] = {
+      payload: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val head = new StringBuilder(96 + targetUri.length)
     head.append("WARC/1.0\r\n")
     head.append("WARC-Type: ").append(warcType).append("\r\n")
     head.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
     head.append("WARC-Date: ").append(date).append("\r\n")
+    extraHeaders.foreach { case (k, v) =>
+      head.append(k).append(": ").append(v).append("\r\n")
+    }
     head.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     val h = head.toString.getBytes("UTF-8") // ASCII-identical for ASCII URIs
     val out = new Array[Byte](h.length + payload.length + 4)
@@ -100,6 +105,7 @@ object Warc {
             var targetUri = ""
             var date = ""
             var contentLength = -1L
+            var extra = Map.empty[String, String]
             // header block until blank line
             var headersDone = false
             while (!headersDone && ok) {
@@ -119,7 +125,9 @@ object Warc {
                     case "content-length" =>
                       try contentLength = v.toLong
                       catch { case _: NumberFormatException => () }
-                    case _ => ()
+                    // unknown headers kept (lowercased names) — revisit
+                    // records carry WARC-Refers-To-* / WARC-Profile here
+                    case other => extra = extra.updated(other, v)
                   }
                 }
                 p = hEnd + 2
@@ -130,7 +138,7 @@ object Warc {
               val payload = java.util.Arrays.copyOfRange(
                 bytes, p, p + contentLength.toInt)
               out += WarcRecord(version, warcType, targetUri, date,
-                contentLength, payload)
+                contentLength, payload, extra)
               pos = p + contentLength.toInt
             } else ok = false // truncated tail record: stop, keep parsed
           }
