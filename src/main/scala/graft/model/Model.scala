@@ -191,7 +191,18 @@ final case class CrawlSpec(
     adaptiveRate: Boolean = false,
     adaptiveLatencyMs: Long = 2000,
     adaptiveInitialCap: Int = 8,
-    adaptiveMaxCap: Int = 64
+    adaptiveMaxCap: Int = 64,
+    // WARC archive output (opt-in): write each wave's DELIVERED responses
+    // as ISO-28500 members under <warcArchiveDir>/wave-NNNN/ via
+    // graft.sinks.WarcSink — one member file per partition, streamed from
+    // the executors (no driver collect). warcDedup=true turns
+    // identical-payload captures within the wave into payload-free
+    // WARC/1.1 §6.7 revisit records (one digest-keyed window);
+    // warcGzip wraps each record in its own gzip member (the Common-Crawl
+    // `.warc.gz` random-access layout).
+    warcArchiveDir: Option[String] = None,
+    warcDedup: Boolean = true,
+    warcGzip: Boolean = false
 )
 
 object CrawlSpec {

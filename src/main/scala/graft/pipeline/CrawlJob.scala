@@ -128,7 +128,9 @@ object CrawlJob {
       optCol("etag", "string", cacheActive).as("p_etag"),
       optCol("last_modified", "string", cacheActive).as("p_lastmod"),
       optCol("latency_ms", "long",
-        spec.requestTimeoutMs > 0 || spec.adaptiveRate).as("p_latency"))
+        spec.requestTimeoutMs > 0 || spec.adaptiveRate).as("p_latency"),
+      optCol("warc_ts", "timestamp",
+        spec.warcArchiveDir.isDefined).as("p_warc_ts"))
 
     val emptyAudit = Seq.empty[(Int, String, String, Int, String, String, String)]
       .toDF("wave", "kind", "method", "status", "host", "url", "detail")
@@ -815,6 +817,7 @@ object CrawlJob {
           .withColumn("p_etag", lit(null).cast("string"))
           .withColumn("p_lastmod", lit(null).cast("string"))
           .withColumn("p_latency", lit(null).cast("long"))
+          .withColumn("p_warc_ts", lit(null).cast("timestamp"))
           .withColumn("redirect_exceeded", lit(false))
           .drop("p_loc")
         var hop = 0
@@ -851,7 +854,7 @@ object CrawlJob {
                 .withColumn("cur_url", col("p_loc"))
                 .withColumn("hops", col("hops") + 1)
                 .drop("p_status", "p_ct", "p_html", "p_text", "p_setck",
-                  "p_etag", "p_lastmod", "p_latency", "p_loc")
+                  "p_etag", "p_lastmod", "p_latency", "p_warc_ts", "p_loc")
                 .localCheckpoint(true)
             }
           hop += 1
@@ -892,6 +895,7 @@ object CrawlJob {
             .withColumn("p_etag", lit(null).cast("string"))
             .withColumn("p_lastmod", lit(null).cast("string"))
             .withColumn("p_latency", lit(null).cast("long"))
+            .withColumn("p_warc_ts", lit(null).cast("timestamp"))
             .withColumn("redirect_exceeded", lit(false))
             .withColumn("revalidated_304", lit(false))
           fetched = fetched.unionByName(asFetched)
@@ -1110,6 +1114,22 @@ object CrawlJob {
             when(col("p_text").isNotNull, lit("text/html; charset=utf-8"))
               .otherwise(col("p_ct"))
           else col("p_ct")
+        // ---- WARC archive output (opt-in): this wave's delivered
+        // responses become one ISO-28500 member file per partition under
+        // warcArchiveDir/wave-NNNN/ (WarcSink streams from the executors;
+        // warcDedup folds identical payloads into revisit records). One
+        // extra action per wave, only when the archive is requested.
+        spec.warcArchiveDir.foreach { wd =>
+          val captures = responses.select(
+            col("cur_url").as("url"),
+            coalesce(
+              date_format(col("p_warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+              lit("1970-01-01T00:00:00Z")).as("ts"),
+            coalesce(bodyCol, lit(Array.emptyByteArray)).as("payload"))
+          graft.sinks.WarcSink.write(captures, f"$wd%s/wave-$wave%04d",
+            dedup = spec.warcDedup, compress = spec.warcGzip)
+        }
+
         val parsed = responses
           .select(col("url"), col("cur_url"), col("host"), col("depth"),
             col("method"), col("meta"), col("wave"), col("rank"),

@@ -777,4 +777,76 @@ class EngineFeaturesSpec extends AnyFunSuite {
         s"robots fetch not broadcast:\n${robotsPlans.head.take(2000)}")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  // ---- WARC archive output -----------------------------------------------
+
+  test("warcArchiveDir: every delivered response lands in its wave's WARC " +
+    "members; identical payloads become revisit records; off by default") {
+    val dir = java.nio.file.Files.createTempDirectory("crawlwarc").toString
+    val spec = CrawlSpec(startUrls = Seq(SiteFixtures.QuotesBase),
+      parserId = "quotes", maxWaves = 4,
+      warcArchiveDir = Some(dir))
+    val res = CrawlJob.run(spark, spec, pagesDf)
+
+    // wave directories exist for every wave that delivered responses
+    val waveDirs = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(waveDirs.nonEmpty && waveDirs.forall(_.startsWith("wave-")))
+
+    // parse every member back: the archived URI set == the crawled set
+    val recs = waveDirs.flatMap { wd =>
+      new java.io.File(s"$dir/$wd").listFiles().toSeq.flatMap { f =>
+        graft.warc.Warc.parse(
+          java.nio.file.Files.readAllBytes(f.toPath))
+      }
+    }.toSeq
+    val crawled = res.crawlOrder.select("url").collect()
+      .map(_.getString(0)).toSet
+    assert(recs.map(_.targetUri).toSet == crawled)
+    assert(recs.length == crawled.size)
+
+    // quotes pages are all distinct payloads → all responses, and the
+    // payloads are the fixture's exact html bytes
+    assert(recs.forall(_.warcType == "response"))
+    val htmlByUrl = pagesDf.select("url", "html").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    recs.foreach { r =>
+      assert(java.util.Arrays.equals(r.payload, htmlByUrl(r.targetUri)),
+        s"payload mismatch for ${r.targetUri}")
+      assert(r.date == "2023-06-01T00:00:00Z" || r.date.startsWith("2023-"))
+    }
+
+    // duplicate-content corpus: revisit records fold the copies
+    import graft.fixtures.SiteFixtures.Page
+    val t = java.sql.Timestamp.valueOf("2023-06-01 00:00:00")
+    val same = "<html><body>same</body></html>".getBytes("UTF-8")
+    val dupCorpus = SiteFixtures.pagesDf(spark, Seq(
+      Page("http://dup.example.com/a", t, same, "same", "en", 200,
+        "text/html", null),
+      Page("http://dup.example.com/b", t, same, "same", "en", 200,
+        "text/html", null),
+      Page("http://dup.example.com/c", t,
+        "<html><body>other</body></html>".getBytes("UTF-8"), "other",
+        "en", 200, "text/html", null)))
+    val dir2 = java.nio.file.Files.createTempDirectory("crawlwarc2").toString
+    val spec2 = CrawlSpec(
+      startUrls = Seq("http://dup.example.com/a", "http://dup.example.com/b",
+        "http://dup.example.com/c"),
+      parserId = "body", maxWaves = 2, warcArchiveDir = Some(dir2))
+    CrawlJob.run(spark, spec2, dupCorpus)
+    val recs2 = new java.io.File(dir2).listFiles().flatMap(wd =>
+      wd.listFiles().toSeq.flatMap(f => graft.warc.Warc.parse(
+        java.nio.file.Files.readAllBytes(f.toPath)))).toSeq
+    assert(recs2.length == 3)
+    assert(recs2.count(_.warcType == "response") == 2) // same + other
+    val rev = recs2.filter(_.warcType == "revisit")
+    assert(rev.length == 1 && rev.head.contentLength == 0)
+    assert(rev.head.extra("warc-refers-to-target-uri") ==
+      "http://dup.example.com/a") // (ts, url) order: /a beats /b
+    assert(rev.head.targetUri == "http://dup.example.com/b")
+
+    // off by default: no archive side-effect without the opt-in
+    val res3 = CrawlJob.run(spark,
+      spec2.copy(warcArchiveDir = None), dupCorpus)
+    assert(res3.crawlOrder.count() == 3)
+  }
 }
