@@ -305,6 +305,89 @@ object QualityQueries {
         |    ON p.url LIKE r.pattern
         |) m WHERE rn = 1""".stripMargin))
 
+  /** Token-budget corpus packing — the final corpus-build step: each
+    * language stratum is filled GREEDILY by quality order (longest docs
+    * first here; in production the q82 LM tercile / q81 verdict feeds the
+    * order) until the stratum's token budget (2,000) is hit. Running
+    * totals via a cumulative window; a doc is kept iff its own cumulative
+    * total still fits.
+    *
+    * Scale: the window partitions by language, which is SKEWED at corpus
+    * scale (40% of the web is English) — so the 100 TB plan first takes
+    * per-shard sub-quotas (budget/shards per partition, map-side) and then
+    * one tiny trim pass over shard boundaries; the per-lang window here is
+    * the semantics face of that two-phase sum. Documented, like q40's
+    * brute-force face next to q43's banded path.
+    */
+  val qTokenPack = Q(
+    "q87_token_pack",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        expr("CAST(size(split(trim(text), ' ')) AS BIGINT)").as("n_tokens"),
+        col("n_chars"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 2000)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"))
+    },
+    Some("""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |    n_chars
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM d) t
+        |WHERE cum_tokens <= 2000""".stripMargin))
+
+  /** Cross-snapshot content change rate per host — the input the q74
+    * revisit scheduler consumes: re-fetch two snapshots of the same URL
+    * set, compare content DIGESTS (never the bodies), aggregate the
+    * changed fraction per host in integer milli units. Snapshot B is the
+    * derived re-crawl where every 4th page changed.
+    *
+    * Scale: digests computed in the scan projection (16 bytes per page
+    * leaves the exchange, not the body); equi-join on url; ONE host-keyed
+    * partial agg. Change rates then broadcast back into the scheduler as
+    * a host-level dimension table.
+    */
+  val qChangeRate = Q(
+    "q88_change_rate",
+    (s, dir) => {
+      val a = view(s, dir, "pages")
+        .select(col("url"), col("host"), col("page_key"),
+          md5(col("text")).as("da"))
+      val b = view(s, dir, "pages")
+        .select(col("url"),
+          md5(when(col("page_key") % 4 === 0,
+            concat(col("text"), lit(" changed")))
+            .otherwise(col("text"))).as("db"))
+      a.join(b, Seq("url"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("da") =!= col("db"), 1L).otherwise(0L))
+            .as("n_changed"))
+        .select(col("host"), col("n_pages"), col("n_changed"),
+          expr("1000 * n_changed div n_pages").as("change_milli"))
+    },
+    Some(cte("pages") +
+      """SELECT host, n_pages, n_changed,
+        |  CAST(1000 * n_changed // n_pages AS BIGINT) AS change_milli
+        |FROM (
+        |  SELECT a.host, COUNT(*) AS n_pages,
+        |    CAST(SUM(CASE WHEN md5(a.text) <>
+        |      md5(CASE WHEN b.page_key % 4 = 0 THEN b.text || ' changed'
+        |               ELSE b.text END) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        |  FROM pages a JOIN pages b ON a.url = b.url
+        |  GROUP BY a.host) t""".stripMargin))
+
   val all: Seq[Q] = Seq(qIncrementalDedup, qGopherRules, qLmScore,
-    qTfidfTerms, qHostQuota, qUrlBlocklist)
+    qTfidfTerms, qHostQuota, qUrlBlocklist, qTokenPack, qChangeRate)
 }

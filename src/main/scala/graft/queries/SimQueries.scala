@@ -510,7 +510,54 @@ object SimQueries {
       |  FROM dots) t
       |WHERE rnk <= 3""".stripMargin))
 
+  /** IVF TRAINING step (q86): one Lloyd iteration — every cluster's new
+    * centroid is the integer mean (sum div n) of its assigned members, and
+    * the output is the per-dimension (old, new, |delta|) movement table a
+    * k-means loop monitors for convergence. All integer arithmetic on the
+    * quantized components, so both engines compute identical centroids.
+    *
+    * Scale: exactly two shuffles — the assignment argmax (q49's broadcast
+    * of 16 centroids, no corpus shuffle) and ONE (cluster, pos)-keyed
+    * partial-agg sum. This is how IVF indexes train distributedly: each
+    * Lloyd round is a scan + a k·dim-sized aggregate, never a collect; the
+    * k·dim result broadcasts back for the next round's assignment.
+    */
+  val qIvfRefine = Q(
+    "q86_ivf_refine",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val f = flatQ(e)
+      val assign = centroidRanked(e).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+      val newc = f.join(assign, Seq("vec_id"))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"),
+          expr("sq div n").as("new_cv"), col("n"))
+      val oldc = f.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cluster"), col("pos"),
+          col("qv").as("old_cv"))
+      newc.join(oldc, Seq("cluster", "pos"))
+        .select(col("cluster"), (col("pos") + 1).cast("long").as("pos"),
+          col("old_cv"), col("new_cv"),
+          abs(col("new_cv") - col("old_cv")).as("move"), col("n"))
+    },
+    Some("WITH " + centroidRankedSql + """,
+      |assign AS (SELECT vec_id, cid AS cluster FROM cranked WHERE rn = 1),
+      |newc AS (
+      |  SELECT a.cluster, f.pos,
+      |    CAST(SUM(f.qv) // COUNT(*) AS BIGINT) AS new_cv,
+      |    COUNT(*) AS n
+      |  FROM flatq f JOIN assign a USING (vec_id)
+      |  GROUP BY a.cluster, f.pos
+      |)
+      |SELECT nc.cluster AS cluster, CAST(nc.pos AS BIGINT) AS pos,
+      |  oc.qv AS old_cv, nc.new_cv AS new_cv,
+      |  abs(nc.new_cv - oc.qv) AS move, nc.n AS n
+      |FROM newc nc
+      |JOIN flatq oc ON oc.vec_id = nc.cluster AND oc.pos = nc.pos""".stripMargin))
+
   val all: Seq[Q] =
     Seq(qCosineTopK, qLshBuckets, qAnnBucketed, qAnnBanded, qEmbeddingNearDup,
-      qIvfAssign, qIvfTopK)
+      qIvfAssign, qIvfTopK, qIvfRefine)
 }

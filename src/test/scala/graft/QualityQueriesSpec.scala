@@ -97,6 +97,49 @@ class QualityQueriesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("q86 ivf refine: centroids move toward their members (mean inside " +
+    "member range), every cluster-dimension cell present") {
+    val df = graft.queries.SimQueries.qIvfRefine.run(spark, sf).cache()
+    try {
+      // 16 clusters × 64 dims, every assigned cluster fully dimensioned
+      val dims = df.groupBy("cluster").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      assert(dims.forall(_._2 == 64), s"ragged dims: ${dims.mkString(",")}")
+      // the refined centroid is a member MEAN: |new| can't exceed the
+      // quantized component bound (|v|<=1 → |qv|<=1000)
+      assert(df.filter(abs(col("new_cv")) > 1000).count() == 0)
+      // at least one cluster actually moved (old seed ≠ member mean)
+      assert(df.agg(max("move")).head().getLong(0) > 0)
+    } finally df.unpersist()
+  }
+
+  test("q87 token pack: per-lang cumulative budget respected and greedy " +
+    "order is by n_chars desc") {
+    val df = QualityQueries.qTokenPack.run(spark, sf).cache()
+    try {
+      assert(df.filter(col("cum_tokens") > 2000).count() == 0)
+      // budget binds: some language kept fewer docs than it has
+      val keptPerLang = df.groupBy("lang").count()
+      val allPerLang = spark.read.parquet(s"$sf/documents.parquet")
+        .groupBy("lang").count().withColumnRenamed("count", "n_all")
+      val bound = keptPerLang.join(allPerLang, "lang")
+        .filter(col("count") < col("n_all")).count()
+      assert(bound > 0, "budget never bound — raise fixture sizes")
+    } finally df.unpersist()
+  }
+
+  test("q88 change rate: hosts whose pages include page_key%4==0 show " +
+    "changes; milli rate consistent with counts") {
+    val df = QualityQueries.qChangeRate.run(spark, sf).cache()
+    try {
+      val bad = df.filter(col("change_milli") =!=
+        expr("1000 * n_changed div n_pages")).count()
+      assert(bad == 0)
+      assert(df.filter(col("n_changed") > 0).count() > 0)
+      assert(df.filter(col("n_changed") > col("n_pages")).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("q85 url blocklist: first-match-wins by rule priority; rules join " +
     "is a broadcast nested loop (no shuffle for the match)") {
     val df = QualityQueries.qUrlBlocklist.run(spark, sf).cache()
