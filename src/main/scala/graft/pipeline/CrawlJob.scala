@@ -1126,8 +1126,18 @@ object CrawlJob {
               date_format(col("p_warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
               lit("1970-01-01T00:00:00Z")).as("ts"),
             coalesce(bodyCol, lit(Array.emptyByteArray)).as("payload"))
+          // every member opens with a warcinfo self-description (ISO 28500
+          // §6.2, the Common-Crawl member layout); dated by the
+          // deterministic wave clock
+          val infoDate = java.time.format.DateTimeFormatter.ISO_INSTANT
+            .format(java.time.Instant.ofEpochSecond(
+              spec.cacheNowEpochSec + wave.toLong * spec.waveIntervalMs / 1000L))
           graft.sinks.WarcSink.write(captures, f"$wd%s/wave-$wave%04d",
-            dedup = spec.warcDedup, compress = spec.warcGzip)
+            dedup = spec.warcDedup, compress = spec.warcGzip,
+            info = Some((infoDate, Seq(
+              "software" -> "geziyorspark",
+              "format" -> "WARC File Format 1.0",
+              "wave" -> wave.toString))))
         }
 
         val parsed = responses

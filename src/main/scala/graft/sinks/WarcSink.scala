@@ -95,21 +95,40 @@ object WarcSink {
     bos.toByteArray
   }
 
+  /** Serialize a member-leading `warcinfo` record (ISO 28500 §6.2): the
+    * self-description every Common-Crawl member opens with. Payload is
+    * `application/warc-fields` (key: value CRLF lines); no
+    * WARC-Target-URI.
+    */
+  def serializeInfo(date: String, fields: Seq[(String, String)]): Array[Byte] = {
+    val payload = fields.map { case (k, v) => s"$k: $v\r\n" }
+      .mkString.getBytes("UTF-8")
+    graft.warc.Warc.write("warcinfo", null, date, payload,
+      Seq("Content-Type" -> "application/warc-fields"))
+  }
+
   /** Plan + write: one `part-NNNNN.warc[.gz]` member file per non-empty
     * partition; `compress=true` gzips each RECORD as its own member
-    * (Common Crawl's random-access layout).
+    * (Common Crawl's random-access layout). `info = Some((date, fields))`
+    * opens every member with a `warcinfo` self-description record, like
+    * the Common-Crawl members themselves (date comes from the crawl's
+    * deterministic wave clock, so output is reproducible).
     */
   def write(
       df: DataFrame, dir: String, dedup: Boolean = false,
-      compress: Boolean = false): Unit = {
+      compress: Boolean = false,
+      info: Option[(String, Seq[(String, String)])] = None): Unit = {
     Files.createDirectories(Paths.get(dir))
     val spark = df.sparkSession
     import spark.implicits._
+    val infoBytes = info.map { case (date, fields) =>
+      serializeInfo(date, fields)
+    }
     plan(df, dedup).as[WarcOutRow].foreachPartition {
       (it: Iterator[WarcOutRow]) =>
         if (it.hasNext) {
           val pid = TaskContext.getPartitionId()
-          val recs = it.map(serialize)
+          val recs = infoBytes.iterator ++ it.map(serialize)
           val body = graft.warc.Warc.concat(
             (if (compress) recs.map(gzipMember) else recs).toSeq)
           val ext = if (compress) ".warc.gz" else ".warc"

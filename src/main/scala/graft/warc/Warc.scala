@@ -51,10 +51,14 @@ object Warc {
       date: String,
       payload: Array[Byte],
       extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
-    val head = new StringBuilder(96 + targetUri.length)
+    val head = new StringBuilder(
+      96 + (if (targetUri == null) 0 else targetUri.length))
     head.append("WARC/1.0\r\n")
     head.append("WARC-Type: ").append(warcType).append("\r\n")
-    head.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+    // warcinfo records carry no WARC-Target-URI (ISO 28500 §6.2) — a null
+    // URI skips the header; parse() leaves targetUri empty for them
+    if (targetUri != null)
+      head.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
     head.append("WARC-Date: ").append(date).append("\r\n")
     extraHeaders.foreach { case (k, v) =>
       head.append(k).append(": ").append(v).append("\r\n")

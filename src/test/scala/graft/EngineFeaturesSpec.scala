@@ -792,13 +792,22 @@ class EngineFeaturesSpec extends AnyFunSuite {
     val waveDirs = new java.io.File(dir).listFiles().map(_.getName).sorted
     assert(waveDirs.nonEmpty && waveDirs.forall(_.startsWith("wave-")))
 
-    // parse every member back: the archived URI set == the crawled set
-    val recs = waveDirs.flatMap { wd =>
-      new java.io.File(s"$dir/$wd").listFiles().toSeq.flatMap { f =>
+    // parse every member back: each member opens with a warcinfo
+    // self-description; the archived URI set == the crawled set
+    val allRecs = waveDirs.flatMap { wd =>
+      new java.io.File(s"$dir/$wd").listFiles().toSeq.map { f =>
         graft.warc.Warc.parse(
           java.nio.file.Files.readAllBytes(f.toPath))
       }
     }.toSeq
+    allRecs.foreach { member =>
+      assert(member.head.warcType == "warcinfo", "member must open with warcinfo")
+      assert(member.head.targetUri == "")
+      val fields = new String(member.head.payload, "UTF-8")
+      assert(fields.contains("software: geziyorspark") &&
+        fields.contains("wave: "), s"warcinfo fields: $fields")
+    }
+    val recs = allRecs.flatten.filterNot(_.warcType == "warcinfo")
     val crawled = res.crawlOrder.select("url").collect()
       .map(_.getString(0)).toSet
     assert(recs.map(_.targetUri).toSet == crawled)
@@ -836,6 +845,7 @@ class EngineFeaturesSpec extends AnyFunSuite {
     val recs2 = new java.io.File(dir2).listFiles().flatMap(wd =>
       wd.listFiles().toSeq.flatMap(f => graft.warc.Warc.parse(
         java.nio.file.Files.readAllBytes(f.toPath)))).toSeq
+      .filterNot(_.warcType == "warcinfo")
     assert(recs2.length == 3)
     assert(recs2.count(_.warcType == "response") == 2) // same + other
     val rev = recs2.filter(_.warcType == "revisit")

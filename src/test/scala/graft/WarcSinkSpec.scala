@@ -143,4 +143,37 @@ class WarcSinkSpec extends AnyFunSuite {
     assert(back.head.payload.toSeq == payload.toSeq)
     assert(back.head.extra == Map("warc-payload-digest" -> "md5:abc"))
   }
+
+  test("warcinfo leader: every member opens with the self-description " +
+    "record (no Target-URI, warc-fields payload), data records follow") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warcinfo").toString
+    val df = Seq(
+      ("http://a/", "2023-01-01T00:00:00Z", "pa".getBytes(UTF_8)),
+      ("http://b/", "2023-01-01T00:00:01Z", "pb".getBytes(UTF_8)))
+      .toDF("url", "ts", "payload").repartition(1)
+    WarcSink.write(df, dir, info = Some(("2023-06-01T00:00:00Z",
+      Seq("software" -> "geziyorspark", "format" -> "WARC File Format 1.0"))))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc"))
+    assert(files.length == 1)
+    val recs = Warc.parse(Files.readAllBytes(files.head.toPath))
+    assert(recs.length == 3)
+    val info = recs.head
+    assert(info.warcType == "warcinfo")
+    assert(info.targetUri == "")
+    assert(info.date == "2023-06-01T00:00:00Z")
+    assert(info.extra("content-type") == "application/warc-fields")
+    assert(new String(info.payload, UTF_8) ==
+      "software: geziyorspark\r\nformat: WARC File Format 1.0\r\n")
+    assert(recs.tail.map(_.targetUri).toSet == Set("http://a/", "http://b/"))
+    // round-trip stability: a warcinfo record with no Target-URI re-writes
+    // byte-identically through write()
+    val again = Warc.write("warcinfo", null, info.date, info.payload,
+      Seq("Content-Type" -> "application/warc-fields"))
+    val r2 = Warc.parse(again).head
+    assert(r2.warcType == info.warcType && r2.targetUri == info.targetUri &&
+      r2.date == info.date && r2.extra == info.extra &&
+      r2.payload.toSeq == info.payload.toSeq)
+  }
 }
