@@ -15,7 +15,8 @@ object SparkEntry {
   private def groups: Seq[Q] =
     CrawlQueries.all ++ PipelineQueries.all ++ TextQueries.all ++
       SimQueries.all ++ EventQueries.all ++ MultimodalQueries.all ++
-      FunctionQueries.all ++ GraphQueries.all ++ QualityQueries.all
+      FunctionQueries.all ++ GraphQueries.all ++ QualityQueries.all ++
+      WebCorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full end-to-end quotes crawl: seed → politeness → robots → fetch

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode text-canonicalization primitives as native Catalyst expressions
+  * (SURVEY.md §4 extension path: codegen'd `Expression` > UDF). A webtext
+  * corpus mixes NFC and NFD sources (Mac-originated uploads, legacy CMSes,
+  * copy-paste chains), so exact/MinHash dedup and token counting see
+  * `café` ≠ `cafe´` unless ingestion canonicalizes — every production
+  * pipeline normalizes before fingerprinting (e.g. ftfy/NFC in CCNet,
+  * Dolma's unicode fixes).
+  *
+  * Static eval helper on the companion so generated code calls one
+  * JVM-static method (the same shape as Spark's own string expressions and
+  * graft's HashOps).
+  */
+object TextOps {
+  /** Canonical-composition normalization (Unicode NFC). `java.text
+    * .Normalizer` is ICU-equivalent for the canonical forms and ships with
+    * the JDK — no dependency. Fast path: `Normalizer.isNormalized` is a
+    * cheap scan that avoids allocating for the (dominant) already-NFC case.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `nfc_normalize(text)` — codegen'd Unicode NFC canonicalization; the
+  * Spark-native twin of DuckDB's `nfc_normalize` (which the oracle runs).
+  */
+case class NormalizeNfc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextOps.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NormalizeNfc =
+    copy(c)
+  override def prettyName: String = "nfc_normalize"
+}
+
+object TextExpressions {
+  /** Column-API entry point. */
+  def nfc_normalize(c: Column): Column =
+    Shim.column(NormalizeNfc(Shim.expression(c)))
+
+  /** SQL registration: `SELECT nfc_normalize(text) FROM ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", es => NormalizeNfc(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.corpus.CorpusViews
+
+/** Round-5 web-corpus operators: the signal-extraction stages between the
+  * raw crawl and the training corpus that earlier rounds didn't cover —
+  * anchor-text aggregation (the classic off-page relevance signal), Unicode
+  * NFC canonicalization (a codegen'd Catalyst expression; dedup and token
+  * counts diverge on mixed-normalization webtext without it), URL template
+  * mining (the per-site URL-shape inventory that feeds blocklists and trap
+  * rules), the meta-robots noindex/nofollow gate (parsed from the HTML by
+  * the real parser, RFC 9309's HTML cousin), and the corpus-release shard
+  * manifest (the integrity record a dataset card ships).
+  *
+  * Same discipline as the rest of the suite: integer/exact arithmetic only,
+  * one shared SQL text for any derived fixture, and a per-query scale note
+  * saying what shuffles at 100 TB.
+  */
+object WebCorpusQueries {
+  import CorpusViews.{view, cte}
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Anchor-text aggregation per target URL — the oldest off-page signal in
+    * web IR (anchor terms describe the TARGET page; used for ranking since
+    * WWW3 and for crawl prioritization in every focused crawler). Each link
+    * contributes one anchor string; per target we emit in-link count,
+    * distinct linking hosts, and the modal anchor (count desc, text asc).
+    *
+    * Scale: anchors aggregate on (dst_url, anchor) — the explode's natural
+    * key, partial-agg combinable map-side; the per-target top-1 window
+    * partitions BY TARGET (bounded by that target's distinct anchors, no
+    * global sort). In-link counts shuffle once on dst_url; mega-targets
+    * (the home-page skew) are exactly what AQE skew-split handles, and the
+    * distinct-host count stays exact via the two-level (dst, host) pre-agg
+    * below rather than a count_distinct over a skewed group.
+    */
+  val qAnchorText = Q(
+    "q89_anchor_text",
+    (s, dir) => {
+      val anchors = view(s, dir, "links").select(
+        col("dst_url"),
+        expr("split_part(src_url, '/', 3)").as("src_host"),
+        concat(lit("see "), col("dst_path"), lit(" #"),
+          col("link_pos").cast("string")).as("anchor"))
+      val perAnchor = anchors.groupBy(col("dst_url"), col("anchor"))
+        .agg(count(lit(1)).as("n"))
+      val top = perAnchor.withColumn("rn",
+          row_number().over(Window.partitionBy(col("dst_url"))
+            .orderBy(col("n").desc, col("anchor").asc)))
+        .filter(col("rn") === 1)
+        .select(col("dst_url"), col("anchor").as("top_anchor"),
+          col("n").as("top_anchor_n"))
+      // exact distinct-host count without count_distinct over a skewed
+      // group: pre-agg to (dst, host), then count — both shuffles keyed on
+      // dst_url, Catalyst reuses the partitioning
+      val hosts = anchors.select(col("dst_url"), col("src_host")).distinct()
+        .groupBy(col("dst_url")).agg(count(lit(1)).as("n_src_hosts"))
+      val inlinks = anchors.groupBy(col("dst_url"))
+        .agg(count(lit(1)).as("n_inlinks"))
+      inlinks.join(hosts, Seq("dst_url")).join(top, Seq("dst_url"))
+        .select(col("dst_url"), col("n_inlinks"), col("n_src_hosts"),
+          col("top_anchor"), col("top_anchor_n"))
+    },
+    Some(cte("links") +
+      """, anchors AS (
+        |  SELECT dst_url, split_part(src_url, '/', 3) AS src_host,
+        |    'see ' || dst_path || ' #' || CAST(link_pos AS STRING) AS anchor
+        |  FROM links
+        |), per_anchor AS (
+        |  SELECT dst_url, anchor, COUNT(*) AS n FROM anchors GROUP BY 1, 2
+        |), top AS (
+        |  SELECT dst_url, anchor AS top_anchor, n AS top_anchor_n FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY dst_url
+        |      ORDER BY n DESC, anchor ASC) AS rn FROM per_anchor) t
+        |  WHERE rn = 1
+        |), hosts AS (
+        |  SELECT dst_url, COUNT(*) AS n_src_hosts FROM (
+        |    SELECT DISTINCT dst_url, src_host FROM anchors) h GROUP BY 1
+        |), inl AS (
+        |  SELECT dst_url, COUNT(*) AS n_inlinks FROM anchors GROUP BY 1
+        |)
+        |SELECT i.dst_url AS dst_url, i.n_inlinks, h.n_src_hosts,
+        |  t.top_anchor, t.top_anchor_n
+        |FROM inl i JOIN hosts h ON i.dst_url = h.dst_url
+        |JOIN top t ON i.dst_url = t.dst_url""".stripMargin))
+
+  // decomposed-form suffix (NFD: e+U+0301, i+U+0308, A+U+030A) appended to
+  // every doc — the mixed-normalization webtext case; NFC composes it to
+  // " café naïve Å". One Scala value interpolated into BOTH engines' text.
+  private val DecomposedSuffix = " café naïve Å"
+
+  /** Unicode NFC canonicalization via the codegen'd `NormalizeNfc` Catalyst
+    * expression (graft.functions.TextExpressions) — DuckDB's built-in
+    * `nfc_normalize` is the oracle. Output pins byte-level behavior: the
+    * decomposed suffix shrinks under NFC (combining pairs compose), and the
+    * digest of the normalized text must agree bit-for-bit across engines
+    * (JDK Normalizer vs utf8proc — both implement UAX #15).
+    *
+    * Scale: row-local, whole-stage codegen (no UDF serialization
+    * boundary) — runs at scan speed; this is the first projection of every
+    * ingest pass, BEFORE any fingerprint/dedup stage.
+    */
+  val qNfcNormalize = Q(
+    "q90_nfc_normalize",
+    (s, dir) => {
+      val t2 = concat(col("text"), lit(DecomposedSuffix))
+      val norm = graft.functions.TextExpressions.nfc_normalize(t2)
+      docs(s, dir).select(col("doc_id"),
+        expr(s"octet_length(text || '$DecomposedSuffix')").as("raw_bytes"),
+        norm.as("norm"))
+        .select(col("doc_id"), col("raw_bytes"),
+          octet_length(col("norm")).cast("long").as("nfc_bytes"),
+          md5(encode(col("norm"), "UTF-8")).as("nfc_md5"))
+    },
+    Some(s"""SELECT doc_id,
+        |  CAST(octet_length(encode(text || '$DecomposedSuffix')) AS BIGINT) AS raw_bytes,
+        |  CAST(octet_length(encode(nfc_normalize(text || '$DecomposedSuffix'))) AS BIGINT) AS nfc_bytes,
+        |  md5(nfc_normalize(text || '$DecomposedSuffix')) AS nfc_md5
+        |FROM documents""".stripMargin))
+
+  // URL-variant fixture: the same page reachable under session-id, paging,
+  // and revision URL shapes (the patterns template mining exists to find).
+  // Shared SQL text, interpolated into both engines.
+  private val UrlVariantSql =
+    """url || CASE CAST(page_key % 4 AS INT)
+      |  WHEN 0 THEN '?session=' || CAST(page_key AS STRING)
+      |  WHEN 1 THEN '?page=' || CAST(page_key % 7 AS STRING)
+      |  WHEN 2 THEN '/rev/' || CAST(page_key AS STRING)
+      |  ELSE '' END""".stripMargin
+
+  /** URL template mining — collapse digit runs to `N` and inventory each
+    * host's URL shapes with counts and per-host share (milli). The template
+    * table is what URL blocklists (q85), trap rules (q76), and crawl-budget
+    * allocators consume: a `?session=N` template whose count ~ host page
+    * count is a session-id trap; a `/rev/N` family is an archive to
+    * de-prioritize.
+    *
+    * Scale: template derivation is row-local regex (codegen'd); the
+    * inventory aggregates on (host, template) — partial-agg combinable —
+    * and the share window partitions BY HOST. Output is hosts × templates,
+    * million-fold smaller than the URL space: the classic
+    * heavy-aggregation/tiny-result shape that makes this cheap even at
+    * 10^10 URLs.
+    */
+  val qUrlTemplate = Q(
+    "q91_url_template",
+    (s, dir) => {
+      CorpusViews.register(s, dir)
+      val u2 = s.sql(s"SELECT host, $UrlVariantSql AS u2 FROM pages")
+      val t = u2.select(col("host"),
+        regexp_replace(col("u2"), "[0-9]+", "N").as("template"))
+      val inv = t.groupBy(col("host"), col("template"))
+        .agg(count(lit(1)).as("n_urls"))
+      inv.withColumn("host_total",
+          sum(col("n_urls")).over(Window.partitionBy(col("host"))))
+        .select(col("host"), col("template"), col("n_urls"),
+          expr("1000 * n_urls div host_total").as("share_milli"))
+    },
+    Some(cte("pages") +
+      s""", u2 AS (
+        |  SELECT host, $UrlVariantSql AS u2 FROM pages
+        |), t AS (
+        |  SELECT host, regexp_replace(u2, '[0-9]+', 'N', 'g') AS template
+        |  FROM u2
+        |), inv AS (
+        |  SELECT host, template, COUNT(*) AS n_urls FROM t GROUP BY 1, 2
+        |)
+        |SELECT host, template, n_urls,
+        |  CAST(1000 * n_urls // SUM(n_urls) OVER (PARTITION BY host) AS BIGINT)
+        |    AS share_milli
+        |FROM inv""".stripMargin))
+
+  // Meta-robots fixture: 1-in-19 pages noindex+nofollow, 1-in-19 nofollow
+  // only, 1-in-19 explicit index,follow, rest no meta tag. Shared SQL text.
+  private val MetaRobotsFixtureHtml =
+    """'<html><head><title>p' || CAST(page_key AS STRING) || '</title>' ||
+      |CASE CAST(page_key % 19 AS INT)
+      |  WHEN 0 THEN '<meta name="robots" content="noindex, nofollow"/>'
+      |  WHEN 1 THEN '<meta name="robots" content="nofollow"/>'
+      |  WHEN 2 THEN '<meta name="robots" content="index, follow"/>'
+      |  ELSE '' END ||
+      |'</head><body><p>' || text || '</p><a href="/p/' ||
+      |CAST(page_key + 1 AS STRING) || '">next</a></body></html>'""".stripMargin
+
+  /** Meta-robots gate — the in-HTML cousin of robots.txt (Google/Bing
+    * REP extension): `noindex` drops the page from the corpus, `nofollow`
+    * drops its outlinks from the frontier. The directives are PARSED from
+    * the fixture HTML by the real tree parser (graft.html.Css attribute
+    * selector — never the generating arithmetic); the oracle recomputes the
+    * expected verdicts from the fixture rule.
+    *
+    * Scale: row-local parse (the tree is already built once per response in
+    * the crawl pipeline — middleware/parse_html.go:15-24's single-lazy-doc
+    * pattern); verdicts are two booleans per page, no shuffle. The
+    * `n_links_followed` column is the frontier-side effect: nofollow pages
+    * contribute zero outlinks regardless of their anchor count.
+    */
+  val qMetaRobots = Q(
+    "q92_meta_robots",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      CorpusViews.register(s, dir)
+      val fixture = s.sql(
+        s"SELECT page_key, url, $MetaRobotsFixtureHtml AS bhtml FROM pages")
+      val enc = Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+      val outEnc = Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaBoolean,
+        Encoders.scalaBoolean, Encoders.scalaInt)
+      fixture.as(enc).mapPartitions { it =>
+        it.map { case (key, url, bhtml) =>
+          val doc = graft.html.Css.doc(bhtml)
+          val content = doc.find("meta[name=robots]").attr("content")
+            .getOrElse("").toLowerCase
+          val noindex = content.contains("noindex")
+          val nofollow = content.contains("nofollow")
+          val links = doc.find("a").size
+          (key, url, noindex, nofollow, if (nofollow) 0 else links)
+        }
+      }(outEnc).toDF("page_key", "url", "noindex", "nofollow",
+        "n_links_followed")
+    },
+    Some(cte("pages") +
+      """SELECT page_key, url,
+        |  page_key % 19 = 0 AS noindex,
+        |  page_key % 19 IN (0, 1) AS nofollow,
+        |  CAST(CASE WHEN page_key % 19 IN (0, 1) THEN 0 ELSE 1 END AS INT)
+        |    AS n_links_followed
+        |FROM pages""".stripMargin))
+
+  /** Corpus-release shard manifest — the integrity/provenance record every
+    * published dataset ships (Common Crawl's per-segment index, HF dataset
+    * shards): documents hash-route to 16 shards; per shard the manifest
+    * records row count, total text bytes, the doc-id span, and order-
+    * independent boundary digests (lexicographic min/max of the per-doc
+    * md5s — verifiable by any consumer in one pass).
+    *
+    * Scale: ONE aggregation keyed on the shard id (16 groups — partial agg
+    * does all the work map-side, the final exchange moves 16 rows); the
+    * hash-routing itself is the same md5-prefix recipe as q68's sampler, so
+    * shard sizes are balanced by construction, never skewed.
+    */
+  val qShardManifest = Q(
+    "q93_shard_manifest",
+    (s, dir) => {
+      docs(s, dir).select(
+        substring(md5(concat(lit("shard|"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 1).as("shard"),
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("nb"),
+        md5(encode(col("text"), "UTF-8")).as("digest"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("total_bytes"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          min(col("digest")).as("min_digest"),
+          max(col("digest")).as("max_digest"))
+    },
+    Some("""SELECT substring(md5('shard|' || CAST(doc_id AS STRING)), 1, 1)
+        |    AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+        |  MIN(md5(text)) AS min_digest, MAX(md5(text)) AS max_digest
+        |FROM documents
+        |GROUP BY 1""".stripMargin))
+
+  /** vhost-aware politeness — rate-limit by SERVER (resolved IP), not
+    * hostname: shared-hosting providers put thousands of vhosts on one box,
+    * so per-host budgets alone can hammer a single server 1000× its budget
+    * (why Heritrix/Nutch key politeness queues on IP). The resolver is
+    * modeled as a deterministic host→server map (hostnum % 7 — ~14 vhosts
+    * per server, the co-location shape); each server grants ≤8 slots per
+    * scheduling round by (priority desc, rank), like q84's per-host quota
+    * but on the coarser physical key.
+    *
+    * Scale: the host→IP map is a resolver-cache dimension table (tiny,
+    * broadcast); the grant window shuffles ONCE on the server key. Server
+    * keys are COARSER than hosts, so skew is worse by construction — the
+    * same AQE skew-split + salted two-phase recipe as the engine's host
+    * windows applies (CrawlJob's politeness stage), and the slot bound
+    * keeps each server's output constant per round.
+    */
+  val qIpPoliteness = Q(
+    "q94_ip_politeness",
+    (s, dir) => {
+      val cand = view(s, dir, "frontier")
+        .groupBy(col("url"), col("host"))
+        .agg(max(col("priority")).as("priority"), min(col("rank")).as("rank"))
+        .withColumn("server_ip",
+          concat(lit("10.0.0."),
+            (regexp_replace(col("host"), "[^0-9]", "").cast("int") % 7)
+              .cast("string")))
+      cand.withColumn("slot",
+          row_number().over(Window.partitionBy(col("server_ip"))
+            .orderBy(col("priority").desc, col("rank"), col("url"))))
+        .filter(col("slot") <= 8)
+        .select(col("server_ip"), col("host"), col("url"), col("priority"),
+          col("slot"))
+    },
+    Some(cte("frontier") +
+      """SELECT server_ip, host, url, priority, slot FROM (
+        |  SELECT server_ip, host, url, priority,
+        |    ROW_NUMBER() OVER (PARTITION BY server_ip
+        |      ORDER BY priority DESC, rank, url) AS slot
+        |  FROM (
+        |    SELECT url, host,
+        |      '10.0.0.' || CAST(CAST(regexp_replace(host, '[^0-9]', '', 'g')
+        |        AS INT) % 7 AS STRING) AS server_ip,
+        |      MAX(priority) AS priority, MIN(rank) AS rank
+        |    FROM frontier GROUP BY 1, 2, 3) c
+        |) q WHERE slot <= 8""".stripMargin))
+
+  // Body-shape fixture for content sniffing: the same corpus served as
+  // bare HTML, XML-wrapped, JSON API response, PDF-signature, and plain
+  // text — the mix a real crawl sees when Content-Type headers lie.
+  private val SniffBodySql =
+    """CASE CAST(page_key % 5 AS INT)
+      |  WHEN 0 THEN '  <html><body>' || text || '</body></html>'
+      |  WHEN 1 THEN '<?xml version="1.0"?><doc>' || text || '</doc>'
+      |  WHEN 2 THEN '{"text": "' || text || '"}'
+      |  WHEN 3 THEN '%PDF-1.7 ' || text
+      |  ELSE text END""".stripMargin
+
+  /** Content-type sniffing — classify the response by its LEADING BYTES
+    * (the `http.DetectContentType` / WHATWG behavior the reference inherits
+    * through x/net/html/charset) so mislabeled or missing Content-Type
+    * headers can't route PDFs into the HTML parser or HTML into the text
+    * corpus. The Spark side runs the real `ContentSniff.sniff` scanner over
+    * the fixture bodies; the oracle recomputes expected types from the
+    * fixture rule.
+    *
+    * Scale: row-local scan of a ≤512-char prefix — no shuffle, constant
+    * work per page regardless of body size (the sniffing never touches the
+    * tail of a 10 MB body).
+    */
+  val qContentSniff = Q(
+    "q95_content_sniff",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      CorpusViews.register(s, dir)
+      val fixture = s.sql(
+        s"SELECT page_key, url, $SniffBodySql AS body FROM pages")
+      val enc = Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+      val outEnc = Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+      fixture.as(enc).mapPartitions { it =>
+        it.map { case (key, url, body) =>
+          (key, url, graft.pipeline.ContentSniff.sniff(body))
+        }
+      }(outEnc).toDF("page_key", "url", "sniffed_type")
+    },
+    Some(cte("pages") +
+      """SELECT page_key, url,
+        |  CASE CAST(page_key % 5 AS INT)
+        |    WHEN 0 THEN 'text/html'
+        |    WHEN 1 THEN 'text/xml'
+        |    WHEN 2 THEN 'application/json'
+        |    WHEN 3 THEN 'application/pdf'
+        |    ELSE 'text/plain' END AS sniffed_type
+        |FROM pages""".stripMargin))
+
+  val all: Seq[Q] = Seq(qAnchorText, qNfcNormalize, qUrlTemplate,
+    qMetaRobots, qShardManifest, qIpPoliteness, qContentSniff)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{TextExpressions, TextOps}
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def jdkNfc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  test("TextOps.nfc composes decomposed sequences and round-trips NFC text") {
+    // e + COMBINING ACUTE → é; A + COMBINING RING → Å; ASCII unchanged
+    val dec = "café naïve Ångström"
+    val out = TextOps.nfc(UTF8String.fromString(dec)).toString
+    assert(out == "café naïve Ångström")
+    assert(out == jdkNfc(dec))
+    // already-NFC input returns the SAME UTF8String instance (no realloc)
+    val nfc = UTF8String.fromString("café plain ascii")
+    assert(TextOps.nfc(nfc) eq nfc)
+  }
+
+  test("byte lengths shrink under composition (the q90 oracle invariant)") {
+    val dec = "é"                       // 1 + 2 bytes
+    val out = TextOps.nfc(UTF8String.fromString(dec))
+    assert(UTF8String.fromString(dec).numBytes == 3)
+    assert(out.numBytes == 2)                  // é = 2 bytes
+  }
+
+  test("expression runs inside whole-stage codegen and handles nulls") {
+    val df = spark.range(4)
+      .select(when(col("id") === 3, lit(null).cast("string"))
+        .otherwise(concat(lit("v"), col("id").cast("string"),
+          lit(" café"))).as("t"))
+      .select(col("t"), TextExpressions.nfc_normalize(col("t")).as("n"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getString(1) == jdkNfc(r.getString(0)))
+    }
+    assert(rows.count(_.isNullAt(1)) == 1)
+    // codegen'd operators render with a "*(stageId)" prefix; a codegen
+    // fallback would print the Project bare
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("nfc_normalize"),
+      s"nfc_normalize fell out of codegen:\n$plan")
+  }
+
+  test("SQL registration: nfc_normalize callable from spark.sql") {
+    TextExpressions.register(spark)
+    val out = spark.sql("SELECT nfc_normalize('café') AS n")
+      .collect().head.getString(0)
+    assert(out == "café")
+  }
+}
