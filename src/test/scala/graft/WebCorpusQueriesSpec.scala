@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.WebCorpusQueries
+
+/** Semantics + plan audits for the round-5 web-corpus operators
+  * (q89–q95). The DuckDB oracle is the value gate; these pin the scale
+  * properties the oracle can't see — exchange counts, partitioning reuse,
+  * window-not-global-sort — plus semantic invariants at a second vantage
+  * point.
+  */
+class WebCorpusQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Shuffle exchanges only — BroadcastExchange moves a dimension, not the
+    * corpus, so it never counts against a "one shuffle" claim.
+    */
+  private def shuffles(plan: String): Seq[String] =
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+
+  test("q89 anchor text: every shuffle keys on dst_url (partitioning " +
+    "reused across agg/window/joins — no re-exchange), counts consistent") {
+    val df = WebCorpusQueries.qAnchorText.run(spark, sf).cache()
+    try {
+      // top anchor count can never exceed the target's in-link total, and
+      // distinct hosts can never exceed in-links
+      assert(df.filter(col("top_anchor_n") > col("n_inlinks")).count() == 0)
+      assert(df.filter(col("n_src_hosts") > col("n_inlinks")).count() == 0)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      // every SHUFFLE in the plan must hash-partition on dst_url — a second
+      // partitioning scheme would re-shuffle the anchors (broadcasts of the
+      // small per-target aggregates are fine)
+      val exLines = shuffles(plan)
+      assert(exLines.nonEmpty)
+      exLines.foreach(l => assert(l.contains("dst_url"),
+        s"non-dst_url shuffle in q89:\n$l"))
+    } finally df.unpersist()
+  }
+
+  test("q91 url template: per-host shares sum to ~1000 milli and the " +
+    "session-id template is host-dominant-width (one per url)") {
+    val df = WebCorpusQueries.qUrlTemplate.run(spark, sf).cache()
+    try {
+      // share_milli uses integer div → per-host sum in (1000-k, 1000]
+      val sums = df.groupBy("host").agg(
+        sum("share_milli").as("s"), count(lit(1)).as("k")).collect()
+      sums.foreach { r =>
+        val s = r.getLong(1); val k = r.getLong(2)
+        assert(s <= 1000 && s > 1000 - k, s"host ${r.getString(0)} sum=$s")
+      }
+      // the ?session=N template exists and never collapses page ids away
+      assert(df.filter(col("template").contains("?session=N")).count() > 0)
+    } finally df.unpersist()
+  }
+
+  test("q93 shard manifest: shards cover all docs, routing is balanced " +
+    "(md5 prefix), single 16-group aggregation") {
+    // plan audit FIRST, on an uncached frame (caching would embed the
+    // InMemoryRelation's copy of the plan and double-count its exchanges);
+    // AQE's toString appends an "== Initial Plan ==" copy — cut it off
+    val plain = WebCorpusQueries.qShardManifest.run(spark, sf)
+    plain.collect()
+    val planStr = plain.queryExecution.executedPlan.toString
+    val finalPlan = planStr.split("== Initial Plan ==").head
+    assert(shuffles(finalPlan).size == 1,
+      s"q93 must be one aggregation:\n$planStr")
+    val df = plain.cache()
+    try {
+      val rows = df.collect()
+      assert(rows.length == 16)
+      val total = rows.map(_.getAs[Long]("n_docs")).sum
+      val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+      assert(total == nDocs)
+      // balanced by construction: no shard more than 2x the mean
+      val mx = rows.map(_.getAs[Long]("n_docs")).max
+      assert(mx <= 2 * (total / 16 + 1), s"skewed shard: $mx of $total")
+    } finally df.unpersist()
+  }
+
+  test("q94 ip politeness: <=8 grants per server per round, slots dense, " +
+    "window partitions by server (no global sort)") {
+    val df = WebCorpusQueries.qIpPoliteness.run(spark, sf).cache()
+    try {
+      val per = df.groupBy("server_ip").agg(
+        count(lit(1)).as("n"), max("slot").as("mx"))
+      assert(per.filter(col("n") > 8).count() == 0)
+      assert(per.filter(col("n") =!= col("mx")).count() == 0) // dense 1..n
+      // multiple vhosts actually share a server in the grant set
+      val multi = df.select("server_ip", "host").distinct()
+        .groupBy("server_ip").count().filter(col("count") > 1).count()
+      assert(multi > 0, "fixture must co-locate vhosts")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"),
+        s"q94 must not global-sort:\n$plan")
+    } finally df.unpersist()
+  }
+
+  test("q92/q95 parser-backed gates agree with the fixture rules at a " +
+    "second scale (spot semantics, not just the sf0.01 oracle)") {
+    val mr = WebCorpusQueries.qMetaRobots.run(spark, sf)
+      .select("page_key", "noindex", "nofollow").collect()
+    mr.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getBoolean(1) == (k % 19 == 0), s"noindex k=$k")
+      assert(r.getBoolean(2) == (k % 19 <= 1), s"nofollow k=$k")
+    }
+    val cs = WebCorpusQueries.qContentSniff.run(spark, sf)
+      .select("page_key", "sniffed_type").collect()
+    val expect = Map(0L -> "text/html", 1L -> "text/xml",
+      2L -> "application/json", 3L -> "application/pdf", 4L -> "text/plain")
+    cs.foreach(r => assert(r.getString(1) == expect(r.getLong(0) % 5)))
+  }
+}
