@@ -202,7 +202,14 @@ final case class CrawlSpec(
     // `.warc.gz` random-access layout).
     warcArchiveDir: Option[String] = None,
     warcDedup: Boolean = true,
-    warcGzip: Boolean = false
+    warcGzip: Boolean = false,
+    // Content sniffing fallback (opt-in; the reference's IsHTML is
+    // header-only — client/response.go:36-44 — so this is OFF by default
+    // for parity): when a response carries no Content-Type, derive one from
+    // the body's leading bytes (pipeline/ContentSniff — the
+    // http.DetectContentType / WHATWG subset). Row-local, O(512) chars per
+    // page; never overrides a server-provided type.
+    sniffContentType: Boolean = false
 )
 
 object CrawlSpec {

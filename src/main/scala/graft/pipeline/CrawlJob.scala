@@ -1093,6 +1093,7 @@ object CrawlJob {
         val maxBody = spec.maxBodySize
         val parseHtmlDisabled = spec.parseHtmlDisabled
         val charsetDetectDisabled = spec.charsetDetectDisabled
+        val sniffCt = spec.sniffContentType
         // Rendered fetch mode (client/client.go:171-247): deliver the
         // pre-rendered DOM (`text` variant, always utf-8 HTML) instead of
         // the raw body — the corpus-mode analog of GetRendered.
@@ -1151,12 +1152,24 @@ object CrawlJob {
             it.map { case (url, finalUrl, host, depth, method, meta, w, rank,
                 parserId, status, ct, html) =>
               val body = CharsetDecode.truncate(html, maxBody)
+              // opt-in fallback for absent Content-Type headers: sniff the
+              // leading bytes (Latin-1 view — binary-safe) so a typeless
+              // HTML page still parses; a server-provided type always wins
+              // (reference parity: IsHTML is header-only,
+              // client/response.go:36-44)
+              val ctEff =
+                if (sniffCt && (ct == null || ct.isEmpty) &&
+                    body != null && body.nonEmpty)
+                  ContentSniff.sniff(new String(body, 0,
+                    math.min(body.length, ContentSniff.MaxSniff),
+                    java.nio.charset.StandardCharsets.ISO_8859_1))
+                else ct
               val isHead = method == "HEAD"
               val text =
                 if (isHead) ""
                 else if (charsetDetectDisabled) CharsetDecode.decodeRaw(body)
-                else CharsetDecode.decode(body, ct)
-              val html4Parse = CharsetDecode.isHtml(ct) && !parseHtmlDisabled
+                else CharsetDecode.decode(body, ctEff)
+              val html4Parse = CharsetDecode.isHtml(ctEff) && !parseHtmlDisabled
               Parsers.safeParse(reg)(parserId, finalUrl, text, html4Parse, meta) match {
                 case Right(out) => (url, host, depth, meta, w, rank, parserId,
                   out.records, out.links.map(d => (d.url, d.parserId)), null: String)

@@ -367,6 +367,171 @@ object WebCorpusQueries {
         |    ELSE 'text/plain' END AS sniffed_type
         |FROM pages""".stripMargin))
 
+  /** Inverted-index build — THE canonical web-scale MapReduce job (Dean &
+    * Ghemawat 2004 §2.1's motivating example): per term, the document
+    * frequency and the head of the sorted posting list (first 8 doc ids).
+    * Posting lists are SETS (distinct (doc, term) first), sorted ascending
+    * — the layout a search shard memory-maps.
+    *
+    * Scale: one term-keyed shuffle with map-side combine after the
+    * (doc, term) distinct (itself doc-keyed from the explode). Stop-word
+    * mega-terms are the skew face: the bounded postings head keeps result
+    * rows O(1); a full index shards postings as (term, block) pages
+    * instead of one unbounded array per term — same recipe as the engine's
+    * salted host windows.
+    */
+  val qInvertedIndex = Q(
+    "q96_inverted_index",
+    (s, dir) => {
+      val w = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), " ")).as("term"))
+        .distinct()
+      w.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("p"))
+        .select(col("term"), col("df"),
+          expr("array_join(transform(slice(p, 1, 8)," +
+            " x -> CAST(x AS STRING)), ',')").as("postings_head"))
+    },
+    Some("""WITH w AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents
+        |)
+        |SELECT term, COUNT(*) AS df,
+        |  array_to_string(list_transform(list_sort(list(doc_id))[1:8],
+        |    x -> CAST(x AS STRING)), ',') AS postings_head
+        |FROM w GROUP BY term""".stripMargin))
+
+  // hex-granular rho: leading-zero hex digits of the md5 tail + 1. One
+  // shared SQL text for both engines (group-0 regexp_extract is portable).
+  private val HllRhoSql =
+    """length(regexp_extract(substring(md5('hll|' || url), 2, 15),
+      |  '^0*', 0)) + 1""".stripMargin
+
+  /** Mergeable cardinality sketch over the URL space — the HLL shape
+    * (Flajolet et al. 2007) in deterministic integer form: urls hash-route
+    * to 16 registers (first md5 hex digit); each register keeps the MAX
+    * leading-zero rank (rho) seen. The sketch is 16 integers regardless of
+    * input size, and MERGES by per-register max — how a 1000-executor crawl
+    * counts distinct URLs without ever shuffling them (each partition
+    * sketches locally; the driver folds 16-int arrays). The float estimator
+    * is reader-side; the sketch itself (emitted here) is engine-exact.
+    *
+    * Scale: partial-agg max per register does ALL the work map-side; the
+    * final exchange moves 16 rows. This is the crawl's frontier-size /
+    * seen-set-cardinality monitor at 10^10 URLs.
+    */
+  val qHllSketch = Q(
+    "q97_hll_sketch",
+    (s, dir) => {
+      CorpusViews.register(s, dir)
+      s.sql(s"""SELECT substring(md5('hll|' || url), 1, 1) AS register,
+        |  COUNT(*) AS n_items,
+        |  MAX($HllRhoSql) AS max_rho
+        |FROM pages GROUP BY 1""".stripMargin)
+    },
+    Some(cte("pages") +
+      s"""SELECT substring(md5('hll|' || url), 1, 1) AS register,
+        |  COUNT(*) AS n_items,
+        |  CAST(MAX($HllRhoSql) AS BIGINT) AS max_rho
+        |FROM pages GROUP BY 1""".stripMargin))
+
+  /** Web-graph degree distribution — the power-law sanity check every
+    * crawl-quality report runs (Broder et al. 2000 "Graph structure in the
+    * web"): bucket each page's in-degree into log2 bins and count pages per
+    * bin. A healthy web sample shows monotonically falling bin mass; a
+    * crawler trapped in a mesh shows a spike at high degree.
+    *
+    * Scale: one dst-keyed count (map-side combined), then a 64-group bin
+    * count — the second agg's input is pages×1 rows of two ints. The log2
+    * bin is integer (bit length via repeated halving expressed as
+    * floor(log2) over a BIGINT — here computed portably with
+    * length-of-binary-string arithmetic-free: 63 - bit shifts is not
+    * portable SQL, so we use the string length of the base-2
+    * representation minus 1, identical in both engines).
+    */
+  val qDegreeDistribution = Q(
+    "q98_degree_distribution",
+    (s, dir) => {
+      val deg = view(s, dir, "links")
+        .groupBy(col("dst_url")).agg(count(lit(1)).as("in_deg"))
+      // log2 bin = length of the binary representation - 1 (integer, exact)
+      deg.select(col("dst_url"), col("in_deg"),
+          (length(conv(col("in_deg"), 10, 2)) - 1).cast("int").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pages"), min(col("in_deg")).as("min_deg"),
+          max(col("in_deg")).as("max_deg"))
+    },
+    Some(cte("links") +
+      """, deg AS (
+        |  SELECT dst_url, COUNT(*) AS in_deg FROM links GROUP BY 1
+        |)
+        |SELECT CAST(length(bin(in_deg)) - 1 AS INT) AS bin,
+        |  COUNT(*) AS n_pages, MIN(in_deg) AS min_deg, MAX(in_deg) AS max_deg
+        |FROM deg GROUP BY 1""".stripMargin))
+
+  // rel=canonical fixture: every 7th page declares the PREVIOUS page (by
+  // key) as its canonical; others self-canonicalize implicitly (no link
+  // tag). Shared SQL text for both engines.
+  private val CanonicalFixtureHtml =
+    """'<html><head>' ||
+      |CASE WHEN page_key % 7 = 3 AND page_key > 0
+      |  THEN '<link rel="canonical" href="http://h' ||
+      |    CAST((page_key - 1) % 97 AS STRING) || '.example.com/p/' ||
+      |    CAST(page_key - 1 AS STRING) || '"/>'
+      |  ELSE '' END ||
+      |'</head><body><p>' || text || '</p></body></html>'""".stripMargin
+
+  /** rel=canonical dedup — honor the page's own duplicate declaration (the
+    * canonical link element, RFC 6596): pages whose HTML names a canonical
+    * target collapse onto it; the corpus keeps one row per canonical
+    * cluster. The canonical URL is PARSED from the fixture HTML by the real
+    * tree parser (`link[rel=canonical]` attribute selector); the oracle
+    * recomputes the expected mapping from the fixture rule. Common Crawl's
+    * dedup honors exactly this signal before any content hashing.
+    *
+    * Scale: parse is row-local; the collapse is one canonical-keyed
+    * group (map-side combinable count + min keeper) — no content bytes
+    * move, only (url, canonical) pairs.
+    */
+  val qCanonicalDedup = Q(
+    "q99_canonical_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      CorpusViews.register(s, dir)
+      val fixture = s.sql(
+        s"SELECT page_key, url, $CanonicalFixtureHtml AS bhtml FROM pages")
+      val enc = Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+      val outEnc = Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+      val mapped = fixture.as(enc).mapPartitions { it =>
+        it.map { case (key, url, bhtml) =>
+          val canon = graft.html.Css.doc(bhtml)
+            .find("link[rel=canonical]").attr("href").getOrElse(url)
+          (key, url, canon)
+        }
+      }(outEnc).toDF("page_key", "url", "canonical")
+      mapped.groupBy(col("canonical"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("page_key")).as("keeper_key"))
+    },
+    Some(cte("pages") +
+      """, mapped AS (
+        |  SELECT page_key, url,
+        |    CASE WHEN page_key % 7 = 3 AND page_key > 0
+        |      THEN 'http://h' || CAST((page_key - 1) % 97 AS STRING) ||
+        |        '.example.com/p/' || CAST(page_key - 1 AS STRING)
+        |      ELSE url END AS canonical
+        |  FROM pages
+        |)
+        |SELECT canonical, COUNT(*) AS cluster_size,
+        |  MIN(page_key) AS keeper_key
+        |FROM mapped GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(qAnchorText, qNfcNormalize, qUrlTemplate,
-    qMetaRobots, qShardManifest, qIpPoliteness, qContentSniff)
+    qMetaRobots, qShardManifest, qIpPoliteness, qContentSniff,
+    qInvertedIndex, qHllSketch, qDegreeDistribution, qCanonicalDedup)
 }

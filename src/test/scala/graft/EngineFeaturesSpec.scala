@@ -859,4 +859,40 @@ class EngineFeaturesSpec extends AnyFunSuite {
       spec2.copy(warcArchiveDir = None), dupCorpus)
     assert(res3.crawlOrder.count() == 3)
   }
+
+  // ---- content-sniffing fallback (opt-in) ----------------------------------
+
+  test("sniffContentType: typeless HTML parses via body sniff when opted " +
+    "in; header-only (reference IsHTML parity) by default") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("http://sn.example.com/a", 200, Option.empty[String],
+        Option.empty[String],
+        "<html><body><a href=\"/b\">b</a></body></html>".getBytes("UTF-8")),
+      ("http://sn.example.com/b", 200, Option.empty[String],
+        Option.empty[String], "{\"x\": 1}".getBytes("UTF-8"))
+    ).toDF("url", "status", "content_type", "location", "html")
+    val spec = CrawlSpec(startUrls = Seq("http://sn.example.com/a"),
+      parserId = "all_links", robotsTxtDisabled = true, maxWaves = 3)
+    // default (parity): no Content-Type header → not HTML → no links
+    val off = CrawlJob.run(spark, spec, corpus)
+    assert(off.crawlOrder.count() == 1)
+    // opt-in: /a sniffs text/html and its link is followed; /b sniffs
+    // application/json and is NOT html-parsed (terminates the crawl)
+    val on = CrawlJob.run(spark, spec.copy(sniffContentType = true), corpus)
+    val urls = on.crawlOrder.select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("http://sn.example.com/a", "http://sn.example.com/b"))
+    // a server-provided type always wins over the sniff: /a served as
+    // text/plain stays unparsed even with sniffing on
+    val plainCorpus = Seq(
+      ("http://sn.example.com/a", 200, Option("text/plain"),
+        Option.empty[String],
+        "<html><body><a href=\"/b\">b</a></body></html>".getBytes("UTF-8")),
+      ("http://sn.example.com/b", 200, Option.empty[String],
+        Option.empty[String], "{\"x\": 1}".getBytes("UTF-8"))
+    ).toDF("url", "status", "content_type", "location", "html")
+    val hdr = CrawlJob.run(spark, spec.copy(sniffContentType = true),
+      plainCorpus)
+    assert(hdr.crawlOrder.count() == 1)
+  }
 }

@@ -98,6 +98,25 @@ class WebCorpusQueriesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("q97 hll sketch: per-register MAX merges — sketch(A ∪ B) == " +
+    "register-wise max of sketch(A), sketch(B)") {
+    graft.corpus.CorpusViews.register(spark, sf)
+    def sketch(where: String): Map[String, Int] =
+      spark.sql(s"""SELECT substring(md5('hll|' || url), 1, 1) AS r,
+        |  MAX(length(regexp_extract(substring(md5('hll|' || url), 2, 15),
+        |    '^0*', 0)) + 1) AS rho
+        |FROM pages WHERE $where GROUP BY 1""".stripMargin)
+        .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    val whole = sketch("true")
+    val a = sketch("page_key % 2 = 0")
+    val b = sketch("page_key % 2 = 1")
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap
+    assert(merged == whole)
+    // the sketch is CONSTANT-size state: 16 registers regardless of input
+    assert(whole.size <= 16 && whole.keySet.forall("0123456789abcdef".contains(_)))
+  }
+
   test("q92/q95 parser-backed gates agree with the fixture rules at a " +
     "second scale (spot semantics, not just the sf0.01 oracle)") {
     val mr = WebCorpusQueries.qMetaRobots.run(spark, sf)
