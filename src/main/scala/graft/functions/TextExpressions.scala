@@ -31,6 +31,30 @@ object TextOps {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** IDN host canonicalization to lowercase A-label (punycode) form via the
+    * JDK's RFC 3490 ToASCII (`java.net.IDN`) — the same transform every
+    * crawler applies before a host becomes a frontier / politeness /
+    * robots key (an internationalized domain reaches the crawler both as
+    * U-labels from href text and as A-labels from the wire; without this
+    * the two spellings of one host split its politeness budget and dedup
+    * scope). Fast path: an already-lowercase pure-ASCII host (the dominant
+    * case by far on webtext) returns unchanged with no allocation.
+    */
+  def idnAscii(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var plain = true
+    var i = 0
+    while (plain && i < str.length) {
+      val c = str.charAt(i)
+      if (c > 127 || (c >= 'A' && c <= 'Z')) plain = false
+      i += 1
+    }
+    if (plain) s
+    else UTF8String.fromString(
+      java.net.IDN.toASCII(str, java.net.IDN.ALLOW_UNASSIGNED)
+        .toLowerCase(java.util.Locale.ROOT))
+  }
 }
 
 /** `nfc_normalize(text)` — codegen'd Unicode NFC canonicalization; the
@@ -47,14 +71,34 @@ case class NormalizeNfc(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nfc_normalize"
 }
 
+/** `idn_ascii(host)` — codegen'd lowercase-A-label host canonicalization
+  * (RFC 3490 ToASCII; `café.example.com` → `xn--caf-dma.example.com`).
+  */
+case class IdnAscii(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextOps.idnAscii(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.idnAscii($c)")
+  override protected def withNewChildInternal(c: Expression): IdnAscii =
+    copy(c)
+  override def prettyName: String = "idn_ascii"
+}
+
 object TextExpressions {
   /** Column-API entry point. */
   def nfc_normalize(c: Column): Column =
     Shim.column(NormalizeNfc(Shim.expression(c)))
 
+  /** Column-API entry point. */
+  def idn_ascii(c: Column): Column =
+    Shim.column(IdnAscii(Shim.expression(c)))
+
   /** SQL registration: `SELECT nfc_normalize(text) FROM ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", es => NormalizeNfc(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "idn_ascii", es => IdnAscii(es.head), "scala_udf")
   }
 }

@@ -531,7 +531,160 @@ object WebCorpusQueries {
         |  MIN(page_key) AS keeper_key
         |FROM mapped GROUP BY 1""".stripMargin))
 
+  // Soft-404 fixture: 1-in-3 OK pages serve a "not found" apology, a
+  // further 1-in-7 a "no longer available" notice — both with status 200,
+  // the classic misconfigured-CMS shape (dense enough that every host
+  // crosses the template threshold even at sf0.001, where a host has ~15
+  // pages). Shared SQL text (Spark expr == oracle CTE).
+  private val Soft404BodySql =
+    """CASE WHEN page_key % 3 = 1
+      |  THEN 'We could not find the page you requested.'
+      |  WHEN page_key % 7 = 2
+      |  THEN 'This content is no longer available.'
+      |  ELSE text END""".stripMargin
+
+  /** Soft-404 template detection — pages answering 200 with an error body.
+    * The production signal (Heritrix's identical-hash filter, Googlebot's
+    * soft-404 classifier) is CONTENT-side, not status-side: a host serving
+    * one identical body across many distinct paths is serving an error
+    * template, whatever the status line says. We fingerprint each 200 body
+    * (md5), count pages per (host, digest), and call a digest a soft-404
+    * template when it repeats across ≥4 paths on one host; per host we
+    * report template count, trapped-page count, and total 200-pages.
+    *
+    * Scale: only (host, digest) pairs move — 16 bytes + host key per PAGE
+    * pre-combine, and the map-side partial agg collapses that to one row
+    * per template per partition before the exchange; the host rollup is a
+    * second tiny host-keyed agg over ≤(hosts × templates) rows. Bodies
+    * never shuffle. The flagged-template list is O(hosts) and broadcasts
+    * back to gate extraction (don't feed error templates to the corpus) —
+    * same shape as the engine's newHosts robots dimension.
+    */
+  val qSoft404 = Q(
+    "q100_soft404",
+    (s, dir) => {
+      val bodies = view(s, dir, "pages").filter(col("status") === 200)
+        .select(col("host"), expr(Soft404BodySql).as("body"))
+      val tpl = bodies
+        .select(col("host"), md5(col("body").cast("binary")).as("digest"))
+        .groupBy(col("host"), col("digest"))
+        .agg(count(lit(1)).as("n"))
+      tpl.groupBy(col("host")).agg(
+        sum(when(col("n") >= 4, 1L).otherwise(0L)).as("n_templates"),
+        sum(when(col("n") >= 4, col("n")).otherwise(0L))
+          .as("n_soft404_pages"),
+        sum(col("n")).as("n_ok_pages"))
+    },
+    Some(cte("pages") +
+      s""", bodies AS (
+        |  SELECT host, $Soft404BodySql AS body
+        |  FROM pages WHERE status = 200
+        |), tpl AS (
+        |  SELECT host, md5(body) AS digest, COUNT(*) AS n
+        |  FROM bodies GROUP BY 1, 2
+        |)
+        |SELECT host,
+        |  CAST(SUM(CASE WHEN n >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_templates,
+        |  CAST(SUM(CASE WHEN n >= 4 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_soft404_pages,
+        |  CAST(SUM(n) AS BIGINT) AS n_ok_pages
+        |FROM tpl GROUP BY 1""".stripMargin))
+
+  // IDN fixture: the U-label spellings a crawler meets in href text. The
+  // oracle pins the exact RFC 3490/3492 A-labels (DuckDB has no punycode —
+  // this is a parse-vs-known-answer face like q92's HTML parse).
+  private val IdnHostSql =
+    """CASE CAST(page_key % 5 AS INT)
+      |  WHEN 0 THEN 'bücher.example.com'
+      |  WHEN 1 THEN 'пример.example.com'
+      |  WHEN 2 THEN 'héllo-wörld.example.com'
+      |  WHEN 3 THEN 'MiXeD-Case.Example.COM'
+      |  ELSE 'plain.example.com' END""".stripMargin
+
+  /** IDN host canonicalization — internationalized hostnames reach a
+    * crawler in two spellings (U-labels from page hrefs, A-labels from the
+    * wire); unless both map to one canonical key, a single host splits its
+    * politeness budget, robots cache, and URL-seen scope in two. `idn_ascii`
+    * is a codegen'd Catalyst expression over the JDK's RFC 3490 ToASCII
+    * (`functions/TextExpressions.scala`), with a no-allocation fast path
+    * for the dominant already-lowercase-ASCII case.
+    *
+    * Scale: row-local, inside whole-stage codegen (TextExpressionsSpec
+    * asserts the plan) — it composes with the frontier's host-keyed
+    * exchange at zero extra cost; the group-by here exists only to give the
+    * oracle a compact deterministic result.
+    */
+  val qIdnHost = Q(
+    "q101_idn_host",
+    (s, dir) => {
+      graft.functions.TextExpressions.register(s)
+      view(s, dir, "pages")
+        .select(expr(IdnHostSql).as("uhost"))
+        .select(col("uhost"),
+          graft.functions.TextExpressions.idn_ascii(col("uhost"))
+            .as("ahost"))
+        .groupBy(col("uhost"), col("ahost"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some(cte("pages") +
+      s""", u AS (
+        |  SELECT $IdnHostSql AS uhost FROM pages
+        |)
+        |SELECT uhost,
+        |  CASE uhost
+        |    WHEN 'bücher.example.com' THEN 'xn--bcher-kva.example.com'
+        |    WHEN 'пример.example.com' THEN 'xn--e1afmkfd.example.com'
+        |    WHEN 'héllo-wörld.example.com'
+        |      THEN 'xn--hllo-wrld-b4a2m.example.com'
+        |    WHEN 'MiXeD-Case.Example.COM' THEN 'mixed-case.example.com'
+        |    ELSE 'plain.example.com' END AS ahost,
+        |  COUNT(*) AS n
+        |FROM u GROUP BY 1, 2""".stripMargin))
+
+  /** robots.txt cache TTL + refetch scheduling — a crawler may not serve a
+    * robots decision from a stale cache forever (RFC 9309 §2.4 allows
+    * caching "generally up to 24 hours" and Google documents its cache at
+    * up to that order; long crawls MUST refetch). The engine fetches robots
+    * for NEW hosts per wave (`CrawlJob` newHosts); this face computes the
+    * complementary production list: hosts whose cached robots has aged past
+    * TTL AND that still have frontier demand → the refetch batch for the
+    * next scheduling round. Fixture: per-host fetch age spreads 0..100 days
+    * (hostnum × 90000 s before "now", q14's fixed nowEpoch convention);
+    * TTL = 30 days.
+    *
+    * Scale: ONE host-keyed partial agg over the frontier (map-side
+    * combined counts — the frontier's urls never move), then row-local
+    * arithmetic on the O(hosts) result; the refetch list broadcasts back
+    * into the wave loop exactly like the engine's newHosts robots
+    * dimension. At 10^8 hosts the list is still executor-trivial and the
+    * agg is the same exchange the politeness window already pays.
+    */
+  val qRobotsTtl = Q(
+    "q102_robots_ttl",
+    (s, dir) => {
+      val ttlS = 86400L * 30
+      view(s, dir, "frontier")
+        .groupBy(col("host")).agg(count(lit(1)).as("n_queued"))
+        .withColumn("age_s",
+          expr("CAST(SUBSTR(split_part(host, '.', 1), 2) AS BIGINT)") *
+            lit(90000L))
+        .select(col("host"), col("n_queued"), col("age_s"),
+          (col("age_s") > lit(ttlS)).as("needs_refetch"))
+    },
+    Some(cte("frontier") +
+      """, d AS (
+        |  SELECT host, COUNT(*) AS n_queued,
+        |    CAST(SUBSTR(split_part(host, '.', 1), 2) AS BIGINT) * 90000
+        |      AS age_s
+        |  FROM frontier GROUP BY 1
+        |)
+        |SELECT host, n_queued, age_s,
+        |  age_s > 86400 * 30 AS needs_refetch
+        |FROM d""".stripMargin))
+
   val all: Seq[Q] = Seq(qAnchorText, qNfcNormalize, qUrlTemplate,
     qMetaRobots, qShardManifest, qIpPoliteness, qContentSniff,
-    qInvertedIndex, qHllSketch, qDegreeDistribution, qCanonicalDedup)
+    qInvertedIndex, qHllSketch, qDegreeDistribution, qCanonicalDedup,
+    qSoft404, qIdnHost, qRobotsTtl)
 }

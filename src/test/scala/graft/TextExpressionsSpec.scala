@@ -54,4 +54,41 @@ class TextExpressionsSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(out == "café")
   }
+
+  test("TextOps.idnAscii: RFC 3490 known answers, lowercase fold, " +
+    "fast-path identity for lowercase ASCII") {
+    def idn(s: String) = TextOps.idnAscii(UTF8String.fromString(s)).toString
+    // the q101 oracle's pinned A-labels
+    assert(idn("bücher.example.com") == "xn--bcher-kva.example.com")
+    assert(idn("пример.example.com") == "xn--e1afmkfd.example.com")
+    assert(idn("héllo-wörld.example.com") ==
+      "xn--hllo-wrld-b4a2m.example.com")
+    // all-ASCII mixed case canonicalizes by lowering only
+    assert(idn("MiXeD-Case.Example.COM") == "mixed-case.example.com")
+    // already-canonical host returns the SAME instance (no realloc)
+    val plain = UTF8String.fromString("plain.example.com")
+    assert(TextOps.idnAscii(plain) eq plain)
+    // round-trip: an A-label input is already ASCII-lowercase → unchanged
+    val alabel = UTF8String.fromString("xn--bcher-kva.example.com")
+    assert(TextOps.idnAscii(alabel) eq alabel)
+  }
+
+  test("idn_ascii expression stays in whole-stage codegen, handles nulls, " +
+    "registers for SQL") {
+    val df = spark.range(4)
+      .select(when(col("id") === 3, lit(null).cast("string"))
+        .otherwise(when(col("id") === 0, lit("bücher.example.com"))
+          .otherwise(lit("plain.example.com"))).as("h"))
+      .select(col("h"), TextExpressions.idn_ascii(col("h")).as("a"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(1)) == 1)
+    assert(rows.exists(r => !r.isNullAt(1) &&
+      r.getString(1) == "xn--bcher-kva.example.com"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("idn_ascii"),
+      s"idn_ascii fell out of codegen:\n$plan")
+    TextExpressions.register(spark)
+    assert(spark.sql("SELECT idn_ascii('ПРИМЕР.example.com') AS a")
+      .collect().head.getString(0) == "xn--e1afmkfd.example.com")
+  }
 }

@@ -132,4 +132,60 @@ class WebCorpusQueriesSpec extends AnyFunSuite {
       2L -> "application/json", 3L -> "application/pdf", 4L -> "text/plain")
     cs.foreach(r => assert(r.getString(1) == expect(r.getLong(0) % 5)))
   }
+
+  test("q100 soft-404: exactly the two planted templates flag, counts are " +
+    "consistent, and bodies never shuffle (digests only)") {
+    val df = WebCorpusQueries.qSoft404.run(spark, sf).cache()
+    try {
+      // count consistency: flagged pages ⊆ 200-pages; templates ≤ 2 per
+      // host (only the two planted bodies can repeat ≥4× on one host)
+      assert(df.filter(col("n_soft404_pages") > col("n_ok_pages"))
+        .count() == 0)
+      assert(df.filter(col("n_templates") > 2).count() == 0)
+      assert(df.filter(col("n_templates") >= 1).count() > 0,
+        "fixture must plant at least one flagged template")
+      // flagged page mass matches the planted residue classes: every
+      // flagged page is a %3=1 or %7=2 page (status-200 only)
+      val planted = spark.sql(
+        """SELECT host, COUNT(*) AS n FROM pages
+          |WHERE status = 200 AND (page_key % 3 = 1 OR page_key % 7 = 2)
+          |GROUP BY 1""".stripMargin)
+      val joined = df.join(planted, Seq("host"))
+      assert(joined.filter(col("n_soft404_pages") > col("n")).count() == 0)
+      // scale shape: the exchange carries (host, digest), never body
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.linesIterator.filter(_.contains("Exchange"))
+        .exists(_.contains("body")), s"q100 shuffles bodies:\n$plan")
+    } finally df.unpersist()
+  }
+
+  test("q102 robots TTL: refetch iff hostnum*90000s exceeds 30 days, one " +
+    "host-keyed agg, no global sort") {
+    // plan audit on the uncached frame, final-plan section only (AQE's
+    // toString appends an "== Initial Plan ==" copy — same as q93)
+    val plain = WebCorpusQueries.qRobotsTtl.run(spark, sf)
+    plain.collect().foreach { r =>
+      val host = r.getString(0)
+      val hostnum = host.stripPrefix("h").takeWhile(_.isDigit).toLong
+      assert(r.getLong(2) == hostnum * 90000L, s"age $host")
+      assert(r.getBoolean(3) == (hostnum * 90000L > 86400L * 30),
+        s"refetch $host")
+    }
+    val planStr = plain.queryExecution.executedPlan.toString
+    val finalPlan = planStr.split("== Initial Plan ==").head
+    assert(shuffles(finalPlan).size <= 1,
+      s"q102 must pay at most the one host agg exchange:\n$planStr")
+    assert(!finalPlan.contains("rangepartitioning"),
+      s"q102 must not global-sort:\n$planStr")
+  }
+
+  test("q101 idn host: five fixture spellings map to exactly five " +
+    "canonical hosts, bijectively") {
+    val rows = WebCorpusQueries.qIdnHost.run(spark, sf).collect()
+    assert(rows.length == 5)
+    val m = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.values.toSet.size == 5)
+    assert(m("plain.example.com") == "plain.example.com")
+    assert(m.values.forall(a => a.forall(c => c < 128 && !c.isUpper)))
+  }
 }
