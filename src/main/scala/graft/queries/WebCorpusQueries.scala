@@ -683,8 +683,100 @@ object WebCorpusQueries {
         |  age_s > 86400 * 30 AS needs_refetch
         |FROM d""".stripMargin))
 
+  /** Frontier priority aging (starvation avoidance) — a pure
+    * highest-priority-first scheduler starves low-priority URLs forever on
+    * a hot frontier (Heritrix's cost/precedence policies and URLFrontier's
+    * aging both solve this): every K waves an entry waits, its effective
+    * priority climbs one step, so everything is eventually scheduled.
+    * effective = priority + waited div 4 (uncapped climb, deterministic);
+    * the per-host grant then takes the usual B=3 slots by (effective desc,
+    * rank asc) — an aged low-priority entry legitimately overtakes a fresh
+    * high-priority one. Fixture: waited = rank % 13 waves (shared SQL
+    * text).
+    *
+    * Scale: the aging transform is row-local arithmetic (inside whole-stage
+    * codegen, zero shuffle); the grant is q84's shape — ONE host-keyed
+    * exchange, per-partition window sort bounded by that host's queue, AQE
+    * splits mega-hosts. The output keeps both granted and waiting rows so
+    * the oracle checks the whole schedule, not just the winners.
+    */
+  val qPriorityAging = Q(
+    "q103_priority_aging",
+    (s, dir) => {
+      val aged = view(s, dir, "frontier")
+        .select(col("url"), col("host"), col("priority"), col("rank"))
+        .withColumn("waited", expr("CAST(rank % 13 AS INT)"))
+        .withColumn("eff_priority",
+          col("priority") + expr("waited div 4"))
+      aged.withColumn("slot",
+          row_number().over(Window.partitionBy(col("host"))
+            .orderBy(col("eff_priority").desc, col("rank").asc)))
+        .select(col("url"), col("host"), col("priority"), col("waited"),
+          col("eff_priority"), (col("slot") <= 3).as("granted"))
+    },
+    Some(cte("frontier") +
+      """, aged AS (
+        |  SELECT url, host, priority, rank,
+        |    CAST(rank % 13 AS INT) AS waited,
+        |    CAST(priority + CAST(rank % 13 AS INT) // 4 AS BIGINT)
+        |      AS eff_priority
+        |  FROM frontier
+        |)
+        |SELECT url, host, priority, waited, eff_priority,
+        |  ROW_NUMBER() OVER (PARTITION BY host
+        |    ORDER BY eff_priority DESC, rank ASC) <= 3 AS granted
+        |FROM aged""".stripMargin))
+
+  // Flaky-host fixture: hosts with hostnum % 11 = 3 drop every even page
+  // (connection-level failure), on top of the corpus's 503 pages. Shared
+  // SQL text both engines.
+  private val FetchFailedSql =
+    """status >= 500 OR
+      |  (CAST(SUBSTR(split_part(host, '.', 1), 2) AS INT) % 11 = 3
+      |   AND page_key % 2 = 0)""".stripMargin
+
+  /** Per-host error-rate circuit breaker (host quarantine) — after a host's
+    * recent fetch-failure rate crosses a threshold, a production crawler
+    * stops scheduling it for a cool-off instead of burning politeness slots
+    * on a dead server (Heritrix's retry/precedence policies, Nutch's host
+    * blocking). Rate over the host's recent fetches in integer milli;
+    * quarantine = rate ≥ 300‰ with an n ≥ 10 volume guard (a 1-for-2 host
+    * is noise, not an outage).
+    *
+    * Scale: ONE host-keyed partial agg (two conditional counts — map-side
+    * combined; bodies/urls never move); the quarantine list is O(hosts)
+    * and broadcasts back into the scheduler as a gate dimension, exactly
+    * like the robots rules and q102's refetch batch.
+    */
+  val qHostQuarantine = Q(
+    "q104_host_quarantine",
+    (s, dir) => {
+      view(s, dir, "pages")
+        .withColumn("failed", expr(FetchFailedSql))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_fetches"),
+          sum(when(col("failed"), 1L).otherwise(0L)).as("n_failed"))
+        .withColumn("err_milli", expr("1000 * n_failed div n_fetches"))
+        .select(col("host"), col("n_fetches"), col("n_failed"),
+          col("err_milli"),
+          (col("err_milli") >= 300 && col("n_fetches") >= 10)
+            .as("quarantined"))
+    },
+    Some(cte("pages") +
+      s""", agg AS (
+        |  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+        |    CAST(SUM(CASE WHEN $FetchFailedSql
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+        |  FROM pages GROUP BY 1
+        |)
+        |SELECT host, n_fetches, n_failed,
+        |  1000 * n_failed // n_fetches AS err_milli,
+        |  1000 * n_failed // n_fetches >= 300 AND n_fetches >= 10
+        |    AS quarantined
+        |FROM agg""".stripMargin))
+
   val all: Seq[Q] = Seq(qAnchorText, qNfcNormalize, qUrlTemplate,
     qMetaRobots, qShardManifest, qIpPoliteness, qContentSniff,
     qInvertedIndex, qHllSketch, qDegreeDistribution, qCanonicalDedup,
-    qSoft404, qIdnHost, qRobotsTtl)
+    qSoft404, qIdnHost, qRobotsTtl, qPriorityAging, qHostQuarantine)
 }

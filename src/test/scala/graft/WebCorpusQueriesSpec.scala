@@ -179,6 +179,59 @@ class WebCorpusQueriesSpec extends AnyFunSuite {
       s"q102 must not global-sort:\n$planStr")
   }
 
+  test("q103 priority aging: <=3 grants per host, schedule follows " +
+    "(eff desc, rank asc), and an aged entry actually overtakes a " +
+    "fresher higher-base-priority one") {
+    val df = WebCorpusQueries.qPriorityAging.run(spark, sf).cache()
+    try {
+      val perHost = df.filter(col("granted"))
+        .groupBy("host").agg(count(lit(1)).as("n"),
+          min("eff_priority").as("min_granted_eff"))
+      assert(perHost.filter(col("n") > 3).count() == 0)
+      // no waiting row may strictly beat a granted row on eff_priority
+      val maxWaiting = df.filter(!col("granted"))
+        .groupBy("host").agg(max("eff_priority").as("max_waiting_eff"))
+      assert(perHost.join(maxWaiting, Seq("host"))
+        .filter(col("max_waiting_eff") > col("min_granted_eff"))
+        .count() == 0)
+      // starvation avoidance observable: some granted row has a LOWER base
+      // priority than some waiting row on the same host (aging inverted
+      // the base order)
+      val g = df.filter(col("granted"))
+        .groupBy("host").agg(min("priority").as("min_granted_base"))
+      val w = df.filter(!col("granted"))
+        .groupBy("host").agg(max("priority").as("max_waiting_base"))
+      assert(g.join(w, Seq("host"))
+        .filter(col("max_waiting_base") > col("min_granted_base"))
+        .count() > 0, "fixture must exhibit an aging inversion")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"),
+        s"q103 must not global-sort:\n$plan")
+    } finally df.unpersist()
+  }
+
+  test("q104 host quarantine: flag is exactly the rate>=300 & n>=10 rule, " +
+    "every quarantined host is a planted flaky host, one host-keyed agg") {
+    val plain = WebCorpusQueries.qHostQuarantine.run(spark, sf)
+    val rows = plain.collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(4) ==
+        (r.getLong(3) >= 300 && r.getLong(1) >= 10), s"rule ${r.getString(0)}")
+      if (r.getBoolean(4)) {
+        val hostnum = r.getString(0).stripPrefix("h")
+          .takeWhile(_.isDigit).toInt
+        assert(hostnum % 11 == 3, s"non-planted quarantine ${r.getString(0)}")
+      }
+    }
+    assert(rows.exists(_.getBoolean(4)), "fixture must quarantine some host")
+    // un-planted hosts stay well under the threshold (503s alone ≈ 27‰)
+    assert(rows.filter(r => !r.getBoolean(4)).forall(_.getLong(3) < 300))
+    val finalPlan = plain.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(shuffles(finalPlan).size <= 1,
+      s"q104 must pay one host agg exchange:\n$finalPlan")
+  }
+
   test("q101 idn host: five fixture spellings map to exactly five " +
     "canonical hosts, bijectively") {
     val rows = WebCorpusQueries.qIdnHost.run(spark, sf).collect()
