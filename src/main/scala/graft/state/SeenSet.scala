@@ -90,6 +90,29 @@ object SeenSet {
     BloomState(seen.stat.bloomFilter("url", capacity, fpp), capacity, count, fpp)
   }
 
+  /** Full build with an EXPLICIT log-depth merge topology: per-partition
+    * Bloom filters combined through `treeAggregate(depth = 2)`, so at
+    * 1000 executors the bit-OR fan-in is a two-level combiner tree instead
+    * of an all-partitions-to-driver reduce. Result is merge-compatible
+    * with `buildState`'s filters (same capacity/fpp → same bit geometry;
+    * Bloom OR is associative and commutative, so partition order is
+    * irrelevant). The default `buildState` keeps Spark's own columnar
+    * sketch aggregate (no row conversion); this path exists where the
+    * merge topology must be explicit — SeenSetSpec pins the two builds
+    * behave identically as seen-set prefilters.
+    */
+  def buildStateTree(seen: DataFrame, count: Long, fpp: Double = 0.03): BloomState = {
+    fullBuilds.incrementAndGet()
+    val capacity = math.max(4 * math.max(count, 1L), 1L << 20)
+    val bloom = seen.select(col("url")).na.drop()
+      .rdd.map(_.getString(0))
+      .treeAggregate(BloomFilter.create(capacity, fpp))(
+        (bf, u) => { bf.putString(u); bf },
+        (a, b) => { a.mergeInPlace(b); a },
+        depth = 2)
+    BloomState(bloom, capacity, count, fpp)
+  }
+
   /** OR this wave's increment into the running filter — O(|increment|),
     * never rescans the accumulated seen set. Mutates and returns the state
     * (the caller must re-broadcast: the previous broadcast's value object

@@ -35,6 +35,34 @@ class SeenSetSpec extends AnyFunSuite {
     assert(want.size == 10000)
   }
 
+  test("treeAggregate build: no false negatives, merge-compatible with " +
+      "the default build, identical prefilter results") {
+    val seen = (0 until 30000 by 2)
+      .map(i => s"http://h${i % 97}.example.com/p/$i").toDF("url")
+      .repartition(16) // force a real multi-partition combiner tree
+    val cand = (0 until 30000)
+      .map(i => s"http://h${i % 97}.example.com/p/$i").toDF("url")
+    val tree = SeenSet.buildStateTree(seen, 15000, fpp = 0.2)
+    val flat = SeenSet.buildState(seen, 15000, fpp = 0.2)
+    // no false negatives through the log-depth merge
+    val misses = seen.collect().map(_.getString(0))
+      .count(u => !tree.bloom.mightContain(u))
+    assert(misses == 0)
+    // same (capacity, fpp) → same bit geometry → mergeInPlace-compatible
+    assert(tree.capacity == flat.capacity)
+    tree.bloom.mergeInPlace(flat.bloom) // throws on incompatible layouts
+    // both builds confirm down to the exact same new-candidate set
+    val bcT = spark.sparkContext.broadcast(
+      SeenSet.buildStateTree(seen, 15000, fpp = 0.2).bloom)
+    val gotTree = SeenSet.filterNewBc(cand, bcT, seen)
+      .collect().map(_.getString(0)).toSet
+    val want = cand.join(seen, Seq("url"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    assert(gotTree == want)
+    assert(want.size == 15000)
+    bcT.destroy()
+  }
+
   test("bloomDedup crawl is result-identical to exact-only crawl " +
       "and never rebuilds the sketch per wave") {
     val pages = SiteFixtures.pagesDf(spark).cache()
