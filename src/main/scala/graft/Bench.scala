@@ -377,8 +377,17 @@ object Bench {
       results.toSeq.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     }
     val extraPart = if (extra.isEmpty) "" else s",$extra"
+    // the note must describe what this RUN actually reports: when the
+    // executor family couldn't complete, `scaling_efficiency_source` names
+    // the thread-family fallback and the note says so too
+    val headlineNote = results.synchronized {
+      if (results.get("scaling_efficiency_source").exists(_.contains("thread")))
+        "headline scaling_efficiency = the thread family FALLBACK (executor family incomplete this run — see cluster_family flags)"
+      else
+        "headline scaling_efficiency = the pre-declared executor family (the north rule's literal N-vs-4N-executor form), thread family reported alongside"
+    }
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(qs)},"sf":"$sfDir"$extraPart,"scaling_note":"north-rule evidence, two families on the SAME fetch+dedup wave job + SAME input: executor scaling (1 executor x 8 cores, separate JVM, CPU-pinned, vs 4 executors x 8 cores on local-cluster) and thread scaling (pinned local[8] vs local[32]); each efficiency = T(4N)/(4*T(N)) from per-config best across interleaved subprocess visits; headline scaling_efficiency = the pre-declared executor family (the north rule's literal N-vs-4N-executor form), thread family reported alongside; host-noise dossier + floor analysis: BASELINE.md round-3/4"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(qs)},"sf":"$sfDir"$extraPart,"scaling_note":"north-rule evidence, two families on the SAME fetch+dedup wave job + SAME input: executor scaling (1 executor x 8 cores, separate JVM, CPU-pinned, vs 4 executors x 8 cores on local-cluster) and thread scaling (pinned local[8] vs local[32]); each efficiency = T(4N)/(4*T(N)) from per-config best across interleaved subprocess visits; $headlineNote; host-noise dossier + floor analysis: BASELINE.md round-3/4"}"""
     // Full detail (every timing + the scaling-note prose) always lands in
     // BENCH_LAST.json, so a driver stdout-parsing quirk can never lose the
     // round's bench evidence.

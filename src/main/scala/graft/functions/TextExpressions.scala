@@ -40,6 +40,13 @@ object TextOps {
     * the two spellings of one host split its politeness budget and dedup
     * scope). Fast path: an already-lowercase pure-ASCII host (the dominant
     * case by far on webtext) returns unchanged with no allocation.
+    *
+    * Malformed hosts (empty labels like `a..b`, labels whose A-label form
+    * exceeds 63 octets) make `IDN.toASCII` throw — and href-derived hosts
+    * on real webtext contain plenty of both. A throwing row must never
+    * kill a 10^10-row stage, and garbage pure-ASCII hosts already pass
+    * through the fast path untouched, so the consistent total behavior is
+    * pass-through: unconvertible input keeps its raw spelling as the key.
     */
   def idnAscii(s: UTF8String): UTF8String = {
     val str = s.toString
@@ -51,9 +58,11 @@ object TextOps {
       i += 1
     }
     if (plain) s
-    else UTF8String.fromString(
-      java.net.IDN.toASCII(str, java.net.IDN.ALLOW_UNASSIGNED)
-        .toLowerCase(java.util.Locale.ROOT))
+    else
+      try UTF8String.fromString(
+        java.net.IDN.toASCII(str, java.net.IDN.ALLOW_UNASSIGNED)
+          .toLowerCase(java.util.Locale.ROOT))
+      catch { case _: IllegalArgumentException => s }
   }
 }
 

@@ -618,7 +618,6 @@ object WebCorpusQueries {
   val qIdnHost = Q(
     "q101_idn_host",
     (s, dir) => {
-      graft.functions.TextExpressions.register(s)
       view(s, dir, "pages")
         .select(expr(IdnHostSql).as("uhost"))
         .select(col("uhost"),

@@ -71,6 +71,12 @@ class TextExpressionsSpec extends AnyFunSuite {
     // round-trip: an A-label input is already ASCII-lowercase → unchanged
     val alabel = UTF8String.fromString("xn--bcher-kva.example.com")
     assert(TextOps.idnAscii(alabel) eq alabel)
+    // malformed hosts (empty label; >63-octet A-label) must NOT throw —
+    // one garbage href row can't be allowed to kill a 10^10-row stage;
+    // pass-through keeps the raw spelling, same as the ASCII fast path
+    assert(idn("ü..example.com") == "ü..example.com")
+    val longLabel = "ü" + ("a" * 70)
+    assert(idn(s"$longLabel.example.com") == s"$longLabel.example.com")
   }
 
   test("idn_ascii expression stays in whole-stage codegen, handles nulls, " +

@@ -224,8 +224,13 @@ class WebCorpusQueriesSpec extends AnyFunSuite {
       }
     }
     assert(rows.exists(_.getBoolean(4)), "fixture must quarantine some host")
-    // un-planted hosts stay well under the threshold (503s alone ≈ 27‰)
-    assert(rows.filter(r => !r.getBoolean(4)).forall(_.getLong(3) < 300))
+    // un-planted hosts stay well under the threshold (503s alone ≈ 27‰);
+    // planted flaky hosts below the n>=10 volume guard are legitimately
+    // unquarantined at high rates, so only non-planted hosts are bounded
+    def planted(host: String) =
+      host.stripPrefix("h").takeWhile(_.isDigit).toInt % 11 == 3
+    assert(rows.filter(r => !planted(r.getString(0)))
+      .forall(_.getLong(3) < 300))
     val finalPlan = plain.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(shuffles(finalPlan).size <= 1,
