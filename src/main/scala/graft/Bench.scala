@@ -20,8 +20,10 @@ import org.apache.spark.sql.expressions.Window
   *  - a JVM shutdown hook emits on SIGTERM / unexpected exit;
   *  - every phase runs under try/catch and checks the remaining budget
   *    before each measurement;
-  *  - phase ORDER guarantees both evidence families: one scaling visit
-  *    first, then the per-query timings, then extra best-of scaling visits
+  *  - phase ORDER guarantees the hard deliverables in priority order: ALL
+  *    per-query timings first (a driver deliverable rounds 2 AND 4 lost to
+  *    scaling over-spend), then one visit of the pre-declared headline
+  *    executor family, then the thread family, then extra best-of visits
   *    only while the measured per-visit cost fits the remaining budget.
   *
   * Two measurements:
@@ -556,8 +558,9 @@ object Bench {
     // memory faulting). Every scaling comparison therefore interleaves the
     // two configs across separate subprocess visits and takes the
     // per-config best — the ratio of bests is far more stable than any
-    // single pair. Phase ORDER: one cluster visit → all query timings →
-    // extra cluster visits while the measured visit cost fits the budget.
+    // single pair. Phase ORDER: all query timings → one executor-family
+    // (headline) visit → one thread-family visit → extra best-of visits
+    // while the measured visit cost fits the remaining budget.
 
     val clusterN = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_N", benchN.toString).toLong
     // 2 reps per subprocess: within-subprocess reps share one host phase,
@@ -769,17 +772,21 @@ object Bench {
       }
     }
 
-    // ---- visit 1 of each family. The THREAD family runs first: it is the
-    // churn-robust one (two single-JVM subprocesses, no master/worker
-    // spawn), so on a kernel-interference day at least one family always
-    // completes; the executor family stays the pre-declared headline and
-    // gets the bigger share (its cross-family cap lifts once the thread
-    // pair exists) plus broken-family priority in the revisit loop. -------
-    phase("wave") {
-      if (remaining > 90) waveVisit()
-    }
+    // ---- visit 1 of each family. The EXECUTOR family runs first: it is
+    // the pre-declared headline (the north rule's literal N-vs-4N-executor
+    // form), and the r5 official draw proved that running the thread family
+    // first can consume the whole post-queries slice and leave the headline
+    // family a sub-60s stub that measures NOTHING (cluster_family_
+    // unmeasured). The cross-family cap inside clusterVisit (≤100s/config
+    // while the thread pair is missing) bounds what a churn-phase kill here
+    // can burn, and the thread family — cheaper single-JVM spawns with a
+    // labeled reduced-N fallback — can still produce fallback evidence from
+    // the tail; the reverse is not true. ----------------------------------
     phase("cluster") {
-      if (remaining > 55) clusterVisit()
+      if (remaining > 90) clusterVisit()
+    }
+    phase("wave") {
+      if (remaining > 55) waveVisit()
     }
 
     // ---- opt-in phase: engine-level CrawlJob scaling ----------------------
@@ -819,13 +826,22 @@ object Bench {
           (e1 == 0 && e1r > 0 && e4r > 0 && e4r < e1r)
       def clusterIncomplete =
         (e1 > 0) != (e4 > 0) || (e1 == 0 && (e1r > 0) != (e4r > 0))
-      def clusterBroken = clusterInverted || clusterIncomplete
+      // zero-sided after an attempted visit (both subprocesses churn-killed)
+      // is the WORST evidence state, not a healthy one — without this the
+      // XOR definitions above skip it and the broken-family priority never
+      // fires (the r5 official draw's exact failure shape)
+      def clusterUnmeasured =
+        clusterVisits > 0 && e1 == 0 && e4 == 0 && e1r == 0 && e4r == 0
+      def clusterBroken =
+        clusterInverted || clusterIncomplete || clusterUnmeasured
       def waveInverted =
         (t8 > 0 && t32 > 0 && t32 < t8) ||
           (t8 == 0 && t8r > 0 && t32r > 0 && t32r < t8r)
       def waveIncomplete =
         (t8 > 0) != (t32 > 0) || (t8 == 0 && (t8r > 0) != (t32r > 0))
-      def waveBroken = waveInverted || waveIncomplete
+      def waveUnmeasured =
+        waveVisits > 0 && t8 == 0 && t32 == 0 && t8r == 0 && t32r == 0
+      def waveBroken = waveInverted || waveIncomplete || waveUnmeasured
       var more = true
       while (more) {
         more = false
