@@ -62,7 +62,11 @@ object TextOps {
       try UTF8String.fromString(
         java.net.IDN.toASCII(str, java.net.IDN.ALLOW_UNASSIGNED)
           .toLowerCase(java.util.Locale.ROOT))
-      catch { case _: IllegalArgumentException => s }
+      // NonFatal, not just IllegalArgumentException: edge JDK punycode
+      // paths have thrown unchecked exceptions other than IAE (e.g.
+      // StringIndexOutOfBounds) on pathological labels — the pass-through
+      // guarantee must be total or a single row kills a 10^10-row stage.
+      catch { case scala.util.control.NonFatal(_) => s }
   }
 }
 

@@ -372,7 +372,12 @@ object CrawlJob {
     frontier = frontier.localCheckpoint(true)
     try {
     while (!done && wave < spec.maxWaves) {
-      if (frontier.isEmpty) { done = true }
+      // ONE count action doubles as the emptiness probe AND the
+      // frontier_size metric (isEmpty + a later count() were two separate
+      // jobs per wave through r5; frontier is checkpointed, so the count
+      // scans cached partitions)
+      val frontierN = frontier.count()
+      if (frontierN == 0) { done = true }
       else {
         var tMark = System.nanoTime()
         if (debug) println(s"[wave-debug] ==== wave $wave ====")
@@ -801,7 +806,6 @@ object CrawlJob {
         // no recompute of the politeness/robots pipeline
         val orderInc = pending.select(col("wave"), col("rank"), col("url"))
         order = order.union(orderInc)
-        val frontierN = frontier.count() // Spark action OUTSIDE the lock
         metricsBuf.synchronized {
           metricsBuf += ((wave, "frontier_size", frontierN))
         }
@@ -822,8 +826,13 @@ object CrawlJob {
           .drop("p_loc")
         var hop = 0
         while (hop <= spec.maxRedirect && !pending.isEmpty) {
+          // Materialize the fetch join ONCE per hop: the delivered rows
+          // (finals) and the redirect continuation are then cheap filters
+          // over the cached join. The r1-r5 shape executed the join TWICE
+          // per wave — once eagerly for the redirect probe's checkpoint and
+          // once more when the lazy `finals` union materialized downstream.
           val j = pending.join(corpus, col("cur_url") === col("p_url"), "left")
-            .drop("p_url")
+            .drop("p_url").localCheckpoint(true)
           val isRedir = col("p_status").isin(RedirectStatuses.map(Integer.valueOf): _*) &&
             col("p_loc").isNotNull
           val finals = j.filter(!isRedir || lit(hop == spec.maxRedirect))
@@ -855,7 +864,6 @@ object CrawlJob {
                 .withColumn("hops", col("hops") + 1)
                 .drop("p_status", "p_ct", "p_html", "p_text", "p_setck",
                   "p_etag", "p_lastmod", "p_latency", "p_warc_ts", "p_loc")
-                .localCheckpoint(true)
             }
           hop += 1
         }
@@ -906,7 +914,9 @@ object CrawlJob {
           .select(col("wave"), lit("revalidate_304"), col("method"),
             col("p_status"), col("host"), col("url"), lit("")))
 
-        fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+        // fetched is a union of narrow filters over the per-hop checkpointed
+        // joins — every downstream consumer re-reads the cached join blocks,
+        // so the r1-r5 second persist of the same rows is dropped.
 
         // fetch misses = transport-error analog → ErrorFunc audit branch
         val misses = fetched.filter(col("p_status").isNull)
@@ -1408,12 +1418,20 @@ object CrawlJob {
         // as the dominant outside-loop cost on q17/q18. This also bounds
         // the audit plan to a union of materialized frames (the same
         // plan-width argument as the seen-chain compaction).
-        val auditIncDf = auditInc.reduce(_ union _)
-          .toDF(emptyAudit.columns: _*).localCheckpoint(true)
+        val auditIncDf = {
+          val raw = auditInc.reduce(_ union _).toDF(emptyAudit.columns: _*)
+          // size-adaptive task count (guide §2.2 fewer-larger-partitions):
+          // the ~10 audit branches are filters over cached frames whose
+          // union otherwise fans one tiny checkpoint job out into hundreds
+          // of near-empty tasks; below the threshold the branches collapse
+          // into 4 tasks with identical rows. Big waves keep their natural
+          // parallelism.
+          (if (frontierN < 100000L) raw.coalesce(4) else raw)
+            .localCheckpoint(true)
+        }
         metricsBuf.synchronized { audit = audit.union(auditIncDf) }
         tMark = dbg("audit-fold-chk", tMark)
 
-        persisted += fetched
         persisted += parsed
         granted2.unpersist()
         deferred2.unpersist()

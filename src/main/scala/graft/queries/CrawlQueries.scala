@@ -341,8 +341,16 @@ object CrawlQueries {
   val qCrawlBfs = Q(
     "q16_crawl_bfs",
     (s, dir) => {
+      // Iterative BFS is a driver loop over LAZY plans: without a
+      // materialization point, level d's plan embeds levels 1..d-1 and the
+      // anti-join's visited union re-embeds them again, so the final count
+      // recomputes every level O(depth) times (profiled: the dominant q16
+      // cost). localCheckpoint each level (and the shared distinct edge
+      // list) exactly like CrawlJob's wave loop — each join/distinct runs
+      // ONCE and lineage stays bounded. Result set unchanged.
       val links = v(s, dir)("links")
         .select(col("src_url"), col("dst_url")).distinct()
+        .localCheckpoint(true)
       val seeds = v(s, dir)("seeds")
         .select(col("url"), lit(0).as("depth"))
       var visited = seeds
@@ -352,6 +360,7 @@ object CrawlQueries {
           .select(col("dst_url").as("url"), lit(d).as("depth"))
           .distinct()
           .join(visited.select(col("url")), Seq("url"), "left_anti")
+          .localCheckpoint(true)
         frontier = next
         visited = visited.union(next)
       }

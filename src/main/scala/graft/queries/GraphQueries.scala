@@ -35,7 +35,13 @@ object GraphQueries {
     */
   val qHostRank = Q(
     "q58_hostrank_priority",
-    (s, dir) => graft.graph.HostRank.ranks(v(s, dir)("host_edges")),
+    // pr is cast to decimal(38,0) for the driver's type-sensitive hash:
+    // the oracle's final column is BIGINT + SUM(BIGINT), which DuckDB
+    // widens to HUGEINT → arrow decimal128(38,0); Spark's long otherwise
+    // lands as int64 and the hash fails on bit-identical values (r5
+    // verdict's root cause). The oracle SQL itself is frozen.
+    (s, dir) => graft.graph.HostRank.ranks(v(s, dir)("host_edges"))
+      .select(col("host"), col("pr").cast("decimal(38,0)").as("pr")),
     Some(cte("host_edges") +
       """, hosts AS (
         |  SELECT src_host AS host FROM host_edges

@@ -373,12 +373,15 @@ object WebCorpusQueries {
     * Posting lists are SETS (distinct (doc, term) first), sorted ascending
     * — the layout a search shard memory-maps.
     *
-    * Scale: one term-keyed shuffle with map-side combine after the
-    * (doc, term) distinct (itself doc-keyed from the explode). Stop-word
-    * mega-terms are the skew face: the bounded postings head keeps result
-    * rows O(1); a full index shards postings as (term, block) pages
-    * instead of one unbounded array per term — same recipe as the engine's
-    * salted host windows.
+    * Scale: df is a term-keyed count with map-side combine (no buffer).
+    * The postings HEAD is computed with the engine's exact two-phase
+    * salted-ranking recipe (the politeness-window shape): phase 1 keeps the
+    * 8 smallest doc_ids per (term, salt-of-doc) bucket — the global head-8
+    * is provably a subset of the per-salt survivors — and phase 2 ranks
+    * only ≤ 8·64 bounded survivors per term, so NO aggregation buffer ever
+    * holds an unbounded posting list (the r5 verdict's q96 OOM shape: a
+    * stop-word term's full 10^10-doc list in ONE collect_list buffer). The
+    * final collect_list is bounded at 8 elements by construction.
     */
   val qInvertedIndex = Q(
     "q96_inverted_index",
@@ -387,12 +390,23 @@ object WebCorpusQueries {
         .select(col("doc_id"),
           explode(split(trim(col("text")), " ")).as("term"))
         .distinct()
-      w.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"),
-          sort_array(collect_list(col("doc_id"))).as("p"))
+      val dfCount = w.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val salted = w
+        .withColumn("salt", pmod(hash(col("doc_id")), lit(64)))
+        .withColumn("r1", row_number().over(
+          Window.partitionBy(col("term"), col("salt"))
+            .orderBy(col("doc_id").asc)))
+        .filter(col("r1") <= 8).drop("r1", "salt")
+      val head8 = salted
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("doc_id").asc)))
+        .filter(col("rn") <= 8)
+        .groupBy(col("term"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("p"))
+      dfCount.join(head8, Seq("term"))
         .select(col("term"), col("df"),
-          expr("array_join(transform(slice(p, 1, 8)," +
-            " x -> CAST(x AS STRING)), ',')").as("postings_head"))
+          expr("array_join(transform(p, x -> CAST(x AS STRING)), ',')")
+            .as("postings_head"))
     },
     Some("""WITH w AS (
         |  SELECT DISTINCT doc_id,

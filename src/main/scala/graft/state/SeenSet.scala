@@ -104,12 +104,25 @@ object SeenSet {
   def buildStateTree(seen: DataFrame, count: Long, fpp: Double = 0.03): BloomState = {
     fullBuilds.incrementAndGet()
     val capacity = math.max(4 * math.max(count, 1L), 1L << 20)
-    val bloom = seen.select(col("url")).na.drop()
+    // Filters are created LAZILY inside each partition: a treeAggregate
+    // zero value would serialize the full capacity-sized bit array into the
+    // task binary and ship one copy to every task (GBs at the 4×-count
+    // capacities the scaladoc's 1000-executor deployment implies — the r5
+    // advisor item). Each non-empty partition allocates its own local
+    // filter; the tree reduce then merges partition filters log-depth.
+    val perPart = seen.select(col("url")).na.drop()
       .rdd.map(_.getString(0))
-      .treeAggregate(BloomFilter.create(capacity, fpp))(
-        (bf, u) => { bf.putString(u); bf },
-        (a, b) => { a.mergeInPlace(b); a },
-        depth = 2)
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val bf = BloomFilter.create(capacity, fpp)
+          it.foreach(bf.putString)
+          Iterator.single(bf)
+        }
+      }
+    val bloom =
+      if (perPart.isEmpty()) BloomFilter.create(capacity, fpp)
+      else perPart.treeReduce((a, b) => { a.mergeInPlace(b); a }, depth = 2)
     BloomState(bloom, capacity, count, fpp)
   }
 
