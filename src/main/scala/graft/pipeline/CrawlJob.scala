@@ -55,6 +55,21 @@ import graft.url.UrlOps
   */
 object CrawlJob {
 
+  /** Small daemon pool for overlapping INDEPENDENT per-wave Spark actions
+    * (guide §2.6: actions are only sequential because the driver calls them
+    * sequentially). Used for side observations (lineage collect, audit
+    * fold) that share no state with the critical frontier chain; every
+    * future is Await-ed inside the same wave, so no work ever crosses a
+    * wave boundary.
+    */
+  private val sideJobEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+        val t = new Thread(r, "crawl-side-job")
+        t.setDaemon(true)
+        t
+      }))
+
   final case class CrawlResult(
       records: DataFrame,    // wave, rank, seq, json
       audit: DataFrame,      // wave, kind, method, status, host, url, detail
@@ -809,9 +824,14 @@ object CrawlJob {
         metricsBuf.synchronized {
           metricsBuf += ((wave, "frontier_size", frontierN))
         }
-        lineageBuf ++= pending.groupBy(spark_partition_id().as("pid"))
-          .agg(count(lit(1)).as("n")).collect()
-          .map(r => (wave, r.getInt(0), r.getLong(1)))
+        // lineage scans only the just-checkpointed pending set — run it
+        // CONCURRENTLY with the fetch loop (its job back-fills executor
+        // slots the fetch join leaves idle) and fold the rows in before the
+        // wave closes
+        val lineageF = scala.concurrent.Future {
+          pending.groupBy(spark_partition_id().as("pid"))
+            .agg(count(lit(1)).as("n")).collect()
+        }(sideJobEc)
         var fetched = pending.limit(0)
           .withColumn("p_status", lit(null).cast("int"))
           .withColumn("p_ct", lit(null).cast("string"))
@@ -831,8 +851,15 @@ object CrawlJob {
           // over the cached join. The r1-r5 shape executed the join TWICE
           // per wave — once eagerly for the redirect probe's checkpoint and
           // once more when the lazy `finals` union materialized downstream.
+          // persist+count, NOT localCheckpoint: downstream `fetched` unions
+          // filters of this frame, and a LogicalRDD child whose carried
+          // constraints mention pruned attributes trips Catalyst's
+          // Union.rewriteConstraints (key-not-found on the status attr);
+          // the InMemoryRelation path keeps the original plan's attributes.
           val j = pending.join(corpus, col("cur_url") === col("p_url"), "left")
-            .drop("p_url").localCheckpoint(true)
+            .drop("p_url").persist(StorageLevel.MEMORY_AND_DISK)
+          j.count()
+          persisted += j
           val isRedir = col("p_status").isin(RedirectStatuses.map(Integer.valueOf): _*) &&
             col("p_loc").isNotNull
           val finals = j.filter(!isRedir || lit(hop == spec.maxRedirect))
@@ -914,9 +941,16 @@ object CrawlJob {
           .select(col("wave"), lit("revalidate_304"), col("method"),
             col("p_status"), col("host"), col("url"), lit("")))
 
-        // fetched is a union of narrow filters over the per-hop checkpointed
-        // joins — every downstream consumer re-reads the cached join blocks,
-        // so the r1-r5 second persist of the same rows is dropped.
+        // fetched stays persisted even though its union children are narrow
+        // filters over the already-cached per-hop joins: the InMemoryRelation
+        // is ALSO the attribute barrier that keeps downstream localCheckpoint
+        // constraint snapshots stable — without it, optimizer-rewritten union
+        // attribute ids leak into LogicalRDD originConstraints and Catalyst's
+        // Union.rewriteConstraints throws key-not-found on later analysis
+        // (observed on the AIMD/randomized-parity paths). Fill cost is one
+        // pass over cached blocks, not a join re-execution.
+        fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += fetched
 
         // fetch misses = transport-error analog → ErrorFunc audit branch
         val misses = fetched.filter(col("p_status").isNull)
@@ -1394,21 +1428,27 @@ object CrawlJob {
           .unionByName(requeue.withColumn("grp", lit(1))
             .withColumn("ord_a", col("rank")).withColumn("ord_b", lit(0L)))
           .unionByName(nextFrontier.withColumn("grp", lit(2)))
-        frontier = {
-          if (spec.syncOrder) {
-            val fw = Window.orderBy(col("grp").asc, col("rank").asc)
-            assembled.withColumn("rank", row_number().over(fw).cast("long"))
-          } else {
-            val bw = Window
-              .partitionBy(pmod(hash(col("url")), lit(RankBuckets)))
-              .orderBy(col("grp").asc, col("ord_a").asc, col("ord_b").asc)
-            assembled.withColumn("rank",
-              pmod(hash(col("url")), lit(RankBuckets)).cast("long") *
-                lit(1L << 40) + row_number().over(bw).cast("long"))
-          }
-        }.drop("grp", "ord_a", "ord_b")
-          .localCheckpoint(true)
-        tMark = dbg("frontier-assembly-chk", tMark)
+        // next-frontier assembly and the audit fold are independent (both
+        // read only cached/checkpointed frames) — materialize them
+        // CONCURRENTLY; the frontier future is awaited right after the
+        // audit checkpoint completes
+        val frontierF = scala.concurrent.Future {
+          {
+            if (spec.syncOrder) {
+              val fw = Window.orderBy(col("grp").asc, col("rank").asc)
+              assembled.withColumn("rank", row_number().over(fw).cast("long"))
+            } else {
+              val bw = Window
+                .partitionBy(pmod(hash(col("url")), lit(RankBuckets)))
+                .orderBy(col("grp").asc, col("ord_a").asc, col("ord_b").asc)
+              assembled.withColumn("rank",
+                pmod(hash(col("url")), lit(RankBuckets)).cast("long") *
+                  lit(1L << 40) + row_number().over(bw).cast("long"))
+            }
+          }.drop("grp", "ord_a", "ord_b")
+            .localCheckpoint(true)
+        }(sideJobEc)
+        tMark = dbg("frontier-assembly-async", tMark)
         // normalize column names: the audit branches select lit() columns
         // whose auto-names would otherwise leak into the delta parquet.
         // Materialize the wave's increment NOW, while granted2/fetched are
@@ -1431,6 +1471,12 @@ object CrawlJob {
         }
         metricsBuf.synchronized { audit = audit.union(auditIncDf) }
         tMark = dbg("audit-fold-chk", tMark)
+        frontier = scala.concurrent.Await.result(
+          frontierF, scala.concurrent.duration.Duration.Inf)
+        lineageBuf ++= scala.concurrent.Await.result(
+            lineageF, scala.concurrent.duration.Duration.Inf)
+          .map(r => (wave, r.getInt(0), r.getLong(1)))
+        tMark = dbg("frontier-assembly-join", tMark)
 
         persisted += parsed
         granted2.unpersist()

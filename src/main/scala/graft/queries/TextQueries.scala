@@ -608,8 +608,7 @@ object TextQueries {
     * large-star/small-star, O(log n) shuffle rounds) labels every doc with
     * the minimum doc_id of its transitive near-dup cluster.
     */
-  private def components66(s: SparkSession, dir: String): DataFrame = {
-    val aug = aug66(s, dir)
+  private def components66(aug: DataFrame): DataFrame = {
     val edges = lshVerifiedPairs(aug, 8)
       .where(col("jaccard_milli") >= 200)
       .select(col("doc_a").cast("long").as("u"),
@@ -618,6 +617,14 @@ object TextQueries {
       .select(col("node").cast("long").as("doc_id"),
         col("component").cast("long").as("cluster_id"))
   }
+
+  /** aug66 materialized once per query: its subtree (docs ∪ clones ∪ the
+    * bridge self-join) otherwise recomputes under every consumer — the LSH
+    * pipeline, the components node universe, and q67's keeper join (three
+    * executions through r5). Tiny frame (≈ docs + ⅐ + ⅑ rows).
+    */
+  private def aug66M(s: SparkSession, dir: String): DataFrame =
+    aug66(s, dir).localCheckpoint(true)
 
   /** DuckDB oracle CTE chain shared by q66/q67 — the identical pipeline
     * (bridges, shingles, 8 MinHashes, 4 bands, exact-Jaccard verify, edge
@@ -703,7 +710,7 @@ object TextQueries {
     */
   val qDedupComponents = Q(
     "q66_dedup_components",
-    (s, dir) => components66(s, dir),
+    (s, dir) => components66(aug66M(s, dir)),
     Some(Comp66Sql + "\nSELECT doc_id, cluster_id FROM comp66"))
 
   /** Canonical-document selection (q67): one keeper per near-dup cluster —
@@ -716,8 +723,9 @@ object TextQueries {
   val qDedupCanonical = Q(
     "q67_dedup_canonical",
     (s, dir) => {
-      val comp = components66(s, dir)
-      val ranked = comp.join(aug66(s, dir), Seq("doc_id"))
+      val aug = aug66M(s, dir)
+      val comp = components66(aug)
+      val ranked = comp.join(aug, Seq("doc_id"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("cluster_id"))
             .orderBy(length(col("text")).desc, col("doc_id").asc)))

@@ -246,4 +246,41 @@ class WebCorpusQueriesSpec extends AnyFunSuite {
     assert(m("plain.example.com") == "plain.example.com")
     assert(m.values.forall(a => a.forall(c => c < 128 && !c.isUpper)))
   }
+
+  test("q96 inverted index: no unbounded per-term aggregation buffer — " +
+    "every collect_list is fed by a rank-bounded filter (r5 verdict #2)") {
+    val plain = WebCorpusQueries.qInvertedIndex.run(spark, sf)
+    plain.collect()
+    val planStr = plain.queryExecution.executedPlan.toString
+    val finalPlan = planStr.split("== Initial Plan ==").head
+    // the postings head must flow through BOTH two-phase ranking windows
+    // ((term, salt) then term) with <= 8 filters BEFORE any collect_list:
+    // a stop-word mega-term then contributes at most 8·64 rows to phase 2
+    // and exactly 8 to the aggregation buffer — never its full posting list
+    val lines = finalPlan.linesIterator.toSeq
+    val collectIdx = lines.indexWhere(_.contains("collect_list"))
+    assert(collectIdx >= 0, s"collect_list missing:\n$finalPlan")
+    val windowIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("row_number()") => i
+    }
+    // plan prints top-down: both bounding windows sit BELOW the aggregate
+    assert(windowIdxs.count(_ > collectIdx) >= 2,
+      s"collect_list not bounded by the two ranking windows:\n$finalPlan")
+    assert(lines.exists(l => l.contains("Filter") && l.contains("<= 8")),
+      s"missing head-8 bound filter:\n$finalPlan")
+    // df survives unchanged: equals a direct distinct (doc,term) count
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("term")).distinct()
+    val expectDf = w.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = plain.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("df") == expectDf(r.getAs[String]("term")))
+      // postings head holds min(df, 8) ids
+      val n = r.getAs[String]("postings_head").split(",").length
+      assert(n == math.min(expectDf(r.getAs[String]("term")), 8L).toInt)
+    }
+  }
 }
