@@ -29,6 +29,21 @@ object SimQueries {
       .reduce(_ union _)
   }
 
+  /** bandKeyed in ONE pass: each vector emits its 4 (tbl, bucket) rows via
+    * stack instead of a 4-way union of per-table selects (which scanned the
+    * source 4 times). Row set identical to bandKeyed(e, 4).
+    */
+  def bandKeyedStack(e: DataFrame): DataFrame = {
+    def bucketCol(t: Int) = (0 until 8).map(i =>
+      when(element_at(col("embedding"), t * 8 + i + 1) > 0, lit(1 << i))
+        .otherwise(lit(0))).reduce(_ + _)
+    e.select(Seq(col("vec_id")) ++ (0 until 4).map(t =>
+        bucketCol(t).as(s"b$t")): _*)
+      .selectExpr("vec_id",
+        s"stack(4, ${(0 until 4).map(t => s"$t, b$t").mkString(", ")})" +
+          " AS (tbl, bucket)")
+  }
+
   /** Unsalted banded candidate join (the q43/q44 shape): pairs colliding in
     * any table. Ordered pairs with qid ≠ nid.
     */
@@ -221,12 +236,9 @@ object SimQueries {
     "q43_ann_banded",
     (s, dir) => {
       val e = emb(s, dir)
-      def bucketCol(t: Int) = (0 until 8).map(i =>
-        when(element_at(col("embedding"), t * 8 + i + 1) > 0, lit(1 << i))
-          .otherwise(lit(0))).reduce(_ + _)
-      val keyed = (0 until 4).map(t =>
-          e.select(col("vec_id"), lit(t).as("tbl"), bucketCol(t).as("bucket")))
-        .reduce(_ union _)
+      // one scan, 4 (tbl, bucket) rows per vector via stack — the 4-way
+      // union of per-table selects read the parquet 4 times
+      val keyed = bandKeyedStack(e)
       val pairs = keyed.as("a").join(keyed.as("b"),
           col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
@@ -311,12 +323,7 @@ object SimQueries {
       val aug = base.union(
         base.filter(col("vec_id") % 9 === 0)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      def bucketCol(t: Int) = (0 until 8).map(i =>
-        when(element_at(col("embedding"), t * 8 + i + 1) > 0, lit(1 << i))
-          .otherwise(lit(0))).reduce(_ + _)
-      val keyed = (0 until 4).map(t =>
-          aug.select(col("vec_id"), lit(t).as("tbl"), bucketCol(t).as("bucket")))
-        .reduce(_ union _)
+      val keyed = bandKeyedStack(aug)
       val pairs = keyed.as("a").join(keyed.as("b"),
           col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&

@@ -60,8 +60,11 @@ object WebCorpusQueries {
       // dst_url, Catalyst reuses the partitioning
       val hosts = anchors.select(col("dst_url"), col("src_host")).distinct()
         .groupBy(col("dst_url")).agg(count(lit(1)).as("n_src_hosts"))
-      val inlinks = anchors.groupBy(col("dst_url"))
-        .agg(count(lit(1)).as("n_inlinks"))
+      // in-link totals roll up from the per-anchor counts (Σ n ≡ the raw
+      // count) so the full anchor stream is shuffled twice, not three
+      // times — the perAnchor exchange is shared with `top`
+      val inlinks = perAnchor.groupBy(col("dst_url"))
+        .agg(sum(col("n")).as("n_inlinks"))
       inlinks.join(hosts, Seq("dst_url")).join(top, Seq("dst_url"))
         .select(col("dst_url"), col("n_inlinks"), col("n_src_hosts"),
           col("top_anchor"), col("top_anchor_n"))
