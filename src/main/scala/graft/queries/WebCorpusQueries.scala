@@ -61,8 +61,11 @@ object WebCorpusQueries {
       val hosts = anchors.select(col("dst_url"), col("src_host")).distinct()
         .groupBy(col("dst_url")).agg(count(lit(1)).as("n_src_hosts"))
       // in-link totals roll up from the per-anchor counts (Σ n ≡ the raw
-      // count) so the full anchor stream is shuffled twice, not three
-      // times — the perAnchor exchange is shared with `top`
+      // count): the rollup consumes map-side-combined (dst, anchor, n) rows
+      // instead of a third full generate+aggregate pass over the raw anchor
+      // stream, and `perAnchor` is one definition feeding both this rollup
+      // and `top` (identical aggregate subtrees, deduplicated at runtime by
+      // AQE shuffle-stage reuse; the static plan prints both)
       val inlinks = perAnchor.groupBy(col("dst_url"))
         .agg(sum(col("n")).as("n_inlinks"))
       inlinks.join(hosts, Seq("dst_url")).join(top, Seq("dst_url"))
